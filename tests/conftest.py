@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-native analogue of a fake multi-node backend
+(SURVEY.md §4): distributed logic is exercised on
+``xla_force_host_platform_device_count=8`` CPU devices, exactly how the
+driver's multi-chip dry-run validates sharding.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# keep matmuls deterministic & fp32 on CPU for parity tests
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
