@@ -1,0 +1,155 @@
+"""Model configuration dataclasses.
+
+Replaces the reference's HF ``PretrainedConfig`` composition
+(exp/cxr_pt/model/configuration.py:6-129) with frozen dataclasses that
+are hashable (usable as static jit args) and built from the same nested
+config dicts produced by the YAML overlay system.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    """DINOv2-style ViT encoder config (HF Dinov2Config subset)."""
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    mlp_ratio: float = 4.0
+    patch_size: int = 14
+    num_channels: int = 3
+    layer_norm_eps: float = 1e-6
+    layerscale_value: float = 1.0
+    pretrain_img_size: int = 224  # grid the stored pos-embeds correspond to
+    img_size: int = 518           # runtime resolution (ref radzero.yaml:19)
+    use_final_layernorm: bool = True  # Dinov2Model applies a final LN
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def intermediate_size(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+    @property
+    def pos_grid(self) -> int:
+        return self.pretrain_img_size // self.patch_size
+
+    @property
+    def patch_grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        return 1 + self.patch_grid * self.patch_grid
+
+
+@dataclass(frozen=True)
+class AlignConfig:
+    """Align-transformer config: N extra trainable DINOv2 layers
+    (ref exp/cxr_pt/model/align_transformers.py:23-45, radzero.yaml:29-34)."""
+
+    model_type: str = "align_transformer"  # align_transformer | identity | linear | mlp
+    hidden_size: int = 768
+    num_hidden_layers: int = 2
+    num_attention_heads: int = 12
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+    layerscale_value: float = 1.0
+    use_layer_norm: bool = False  # optional trailing LN (radzero.yaml:34: False)
+
+    def as_vit(self) -> ViTConfig:
+        return ViTConfig(
+            hidden_size=self.hidden_size,
+            num_hidden_layers=self.num_hidden_layers,
+            num_attention_heads=self.num_attention_heads,
+            mlp_ratio=self.mlp_ratio,
+            layer_norm_eps=self.layer_norm_eps,
+            layerscale_value=self.layerscale_value,
+            use_final_layernorm=False,
+        )
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    """MPNet text encoder config (HF MPNetConfig subset; ref radzero.yaml:21-27)."""
+
+    model_type: str = "mpnet"
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    vocab_size: int = 30527
+    max_position_embeddings: int = 514
+    relative_attention_num_buckets: int = 32
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 1
+    use_cls_token: bool = False       # False -> masked mean pooling (ref radzero.yaml:27)
+    use_text_projection: bool = False # optional Linear(text_dim -> 2*hidden) (modeling.py:69-72)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """RadZeroLoss hyper-parameters (ref losses.py:35-69, radzero.yaml:39-46)."""
+
+    hidden_dim: int = 768
+    use_vision_cls_token: bool = True
+    attn_temperature: Optional[float] = None  # None -> share loss_temperature
+    loss_temperature: float = 0.07            # parameterised as log-temp
+    text_features_l2_norm: bool = False
+    mpnce_row_sum: bool = False
+    mpnce_col_sum: bool = False
+    sim_op: str = "cos"                       # cos | dot (radzero.yaml:46)
+    use_layer_norm: bool = True               # shared modality LN (losses.py:51)
+
+
+@dataclass(frozen=True)
+class RadZeroConfig:
+    """Composite model config (ref CxrAlignConfig, configuration.py:107-129)."""
+
+    vision: ViTConfig = dataclasses.field(default_factory=ViTConfig)
+    text: TextConfig = dataclasses.field(default_factory=TextConfig)
+    align: AlignConfig = dataclasses.field(default_factory=AlignConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    compute_logits_type: str = "radzero"  # radzero | cls_alignment | global_alignment
+
+
+def _filter_kwargs(cls, d: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+def radzero_config_from_dict(model_config: dict) -> RadZeroConfig:
+    """Build a RadZeroConfig from the YAML ``model.model_config`` block."""
+    vc = dict(model_config.get("vision_config", {}))
+    if "img_size" not in vc:
+        vc["img_size"] = 518
+    vision = ViTConfig(**_filter_kwargs(ViTConfig, vc))
+
+    tc = dict(model_config.get("text_config", {}))
+    text = TextConfig(**_filter_kwargs(TextConfig, tc))
+
+    ac = dict(model_config.get("align_transformer_config", {}))
+    align = AlignConfig(**_filter_kwargs(AlignConfig, ac))
+
+    loss_block = model_config.get("loss", {}) or {}
+    lc = dict(loss_block.get("RadZeroLoss", {}) or {})
+    loss = LossConfig(**_filter_kwargs(LossConfig, lc))
+
+    return RadZeroConfig(
+        vision=vision,
+        text=text,
+        align=align,
+        loss=loss,
+        compute_logits_type=model_config.get("compute_logits_type", "radzero"),
+    )

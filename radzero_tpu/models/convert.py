@@ -1,0 +1,127 @@
+"""Torch/HF state_dict -> radzero_tpu param-pytree converters.
+
+Pure numpy name-mapping (no torch import): callers pass
+``{name: np.ndarray}``. Used by the offline checkpoint converter tool
+(tools/convert_checkpoint.py) and the torch-oracle parity tests.
+
+Weight-layout conventions translated:
+- torch Linear weight (out, in)        -> kernel (in, out)        [transpose]
+- torch Conv2d patch kernel (D,C,P,P)  -> (P*P*C, D) matching
+  :func:`radzero_tpu.models.vit.patchify`'s (ph, pw, c) ordering
+- per-layer tensors stacked on a leading axis for ``lax.scan``
+
+Source name schemas: HF ``Dinov2Model`` / ``Dinov2Encoder`` (the
+reference's vision tower + align transformer,
+exp/cxr_pt/model/vision_encoders.py:23-43, align_transformers.py:23-45)
+and HF ``MPNetModel`` (text tower, text_encoders.py:8-28).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+def _lin(sd: StateDict, name: str) -> dict:
+    return {"kernel": sd[f"{name}.weight"].T.copy(), "bias": sd[f"{name}.bias"].copy()}
+
+
+def _ln(sd: StateDict, name: str) -> dict:
+    return {"scale": sd[f"{name}.weight"].copy(), "bias": sd[f"{name}.bias"].copy()}
+
+
+def _stack(dicts: list) -> dict:
+    """List of identical pytrees -> one pytree of stacked leaves."""
+    out = {}
+    for k, v in dicts[0].items():
+        if isinstance(v, dict):
+            out[k] = _stack([d[k] for d in dicts])
+        else:
+            out[k] = np.stack([d[k] for d in dicts], axis=0)
+    return out
+
+
+def convert_dinov2_layers(sd: StateDict, num_layers: int, prefix: str = "encoder.layer") -> dict:
+    layers = []
+    for i in range(num_layers):
+        p = f"{prefix}.{i}"
+        layers.append(
+            {
+                "ln1": _ln(sd, f"{p}.norm1"),
+                "attn": {
+                    "q": _lin(sd, f"{p}.attention.attention.query"),
+                    "k": _lin(sd, f"{p}.attention.attention.key"),
+                    "v": _lin(sd, f"{p}.attention.attention.value"),
+                    "o": _lin(sd, f"{p}.attention.output.dense"),
+                },
+                "ls1": sd[f"{p}.layer_scale1.lambda1"].copy(),
+                "ln2": _ln(sd, f"{p}.norm2"),
+                "mlp": {
+                    "fc1": _lin(sd, f"{p}.mlp.fc1"),
+                    "fc2": _lin(sd, f"{p}.mlp.fc2"),
+                },
+                "ls2": sd[f"{p}.layer_scale2.lambda1"].copy(),
+            }
+        )
+    return _stack(layers)
+
+
+def convert_dinov2(sd: StateDict, num_layers: int, use_final_layernorm: bool = True) -> dict:
+    """HF Dinov2Model state_dict -> vit params pytree."""
+    w = sd["embeddings.patch_embeddings.projection.weight"]  # (D, C, P, P)
+    d = w.shape[0]
+    kernel = w.transpose(2, 3, 1, 0).reshape(-1, d).copy()  # (P*P*C, D), (ph,pw,c) order
+    params = {
+        "patch_embed": {
+            "kernel": kernel,
+            "bias": sd["embeddings.patch_embeddings.projection.bias"].copy(),
+        },
+        "cls_token": sd["embeddings.cls_token"].copy(),
+        "pos_embed": sd["embeddings.position_embeddings"].copy(),
+        "layers": convert_dinov2_layers(sd, num_layers),
+    }
+    if use_final_layernorm:
+        params["final_ln"] = _ln(sd, "layernorm")
+    return params
+
+
+def convert_dinov2_encoder_only(sd: StateDict, num_layers: int, prefix: str = "layer") -> dict:
+    """HF Dinov2Encoder (align transformer) state_dict -> stacked layers pytree."""
+    return convert_dinov2_layers(sd, num_layers, prefix=prefix)
+
+
+def convert_mpnet(sd: StateDict, num_layers: int) -> dict:
+    """HF MPNetModel state_dict -> mpnet params pytree."""
+    layers = []
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        layers.append(
+            {
+                "attn": {
+                    "q": _lin(sd, f"{p}.attention.attn.q"),
+                    "k": _lin(sd, f"{p}.attention.attn.k"),
+                    "v": _lin(sd, f"{p}.attention.attn.v"),
+                    "o": _lin(sd, f"{p}.attention.attn.o"),
+                },
+                "ln_attn": _ln(sd, f"{p}.attention.LayerNorm"),
+                "mlp": {
+                    "fc1": _lin(sd, f"{p}.intermediate.dense"),
+                    "fc2": _lin(sd, f"{p}.output.dense"),
+                },
+                "ln_out": _ln(sd, f"{p}.output.LayerNorm"),
+            }
+        )
+    return {
+        "embeddings": {
+            "word": sd["embeddings.word_embeddings.weight"].copy(),
+            "position": sd["embeddings.position_embeddings.weight"].copy(),
+            "ln": _ln(sd, "embeddings.LayerNorm"),
+        },
+        "rel_bias": sd["encoder.relative_attention_bias.weight"].copy(),
+        "layers": _stack(layers),
+    }

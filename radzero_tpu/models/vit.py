@@ -1,0 +1,194 @@
+"""DINOv2-style Vision Transformer, TPU-native.
+
+Functional re-design of the frozen XrayDINOv2 tower the reference uses
+via HF ``Dinov2Model`` (exp/cxr_pt/model/vision_encoders.py:23-43,
+modeling.py:96-123) and of the trainable align transformer
+(``Dinov2Encoder``; exp/cxr_pt/model/align_transformers.py:23-45).
+
+TPU-first choices:
+- patch embedding as reshape + one big matmul (MXU) instead of a conv;
+- transformer layers stacked along a leading axis and driven by
+  ``lax.scan`` (one compiled layer body; fast compiles, remat-friendly);
+- position embeddings stored at the checkpoint grid and bicubically
+  interpolated to the runtime grid with fp32 matmul resize matrices
+  (exact parity with HF ``interpolate_pos_encoding``: bicubic,
+  align_corners=False, computed in fp32);
+- fp32 softmax inside attention, bf16 everywhere else under training.
+
+Layer math (HF Dinov2Layer, pre-LN with LayerScale):
+    x = x + ls1 * attn_out(attn(ln1(x)))
+    x = x + ls2 * mlp(ln2(x))
+followed by an optional final LayerNorm (Dinov2Model has one; the raw
+Dinov2Encoder used as align transformer does not).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from radzero_tpu.models.configuration import ViTConfig
+from radzero_tpu.ops.layers import (
+    attention,
+    gelu,
+    layer_norm,
+    linear,
+    merge_heads,
+    split_heads,
+)
+from radzero_tpu.ops.resize import resize_matrix
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, d_in, d_out, std=0.02):
+    kk, _ = jax.random.split(key)
+    return {
+        "kernel": jax.random.normal(kk, (d_in, d_out), jnp.float32) * std,
+        "bias": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def _init_ln(d):
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def init_vit_layers(key, cfg: ViTConfig) -> dict:
+    """Stacked (num_layers leading axis) transformer layer params."""
+    d, f, n = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+
+    def one(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "ln1": _init_ln(d),
+            "attn": {
+                "q": _init_linear(ks[0], d, d),
+                "k": _init_linear(ks[1], d, d),
+                "v": _init_linear(ks[2], d, d),
+                "o": _init_linear(ks[3], d, d),
+            },
+            "ls1": jnp.full((d,), cfg.layerscale_value, jnp.float32),
+            "ln2": _init_ln(d),
+            "mlp": {"fc1": _init_linear(ks[4], d, f), "fc2": _init_linear(ks[5], f, d)},
+            "ls2": jnp.full((d,), cfg.layerscale_value, jnp.float32),
+        }
+
+    keys = jax.random.split(key, n)
+    return jax.vmap(one)(keys)
+
+
+def init_vit(key, cfg: ViTConfig) -> dict:
+    d = cfg.hidden_size
+    kp, kc, kpos, kl = jax.random.split(key, 4)
+    patch_dim = cfg.patch_size * cfg.patch_size * cfg.num_channels
+    params = {
+        "patch_embed": _init_linear(kp, patch_dim, d),
+        "cls_token": jax.random.normal(kc, (1, 1, d), jnp.float32) * 0.02,
+        "pos_embed": jax.random.normal(kpos, (1, 1 + cfg.pos_grid**2, d), jnp.float32) * 0.02,
+        "layers": init_vit_layers(kl, cfg),
+    }
+    if cfg.use_final_layernorm:
+        params["final_ln"] = _init_ln(d)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, grid_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bicubic-resample patch pos-embeds to (h, w); CLS slot passes through.
+
+    Mirrors HF ``Dinov2Embeddings.interpolate_pos_encoding``: reshape to
+    (G, G, D), fp32 bicubic with align_corners=False, flatten back.
+    """
+    h, w = grid_hw
+    n_pos = pos_embed.shape[1] - 1
+    g = int(round(n_pos**0.5))
+    if (h, w) == (g, g):
+        return pos_embed
+    cls_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:].astype(jnp.float32).reshape(1, g, g, -1)
+    wh = jnp.asarray(resize_matrix(g, h, "bicubic"))
+    ww = jnp.asarray(resize_matrix(g, w, "bicubic"))
+    # (1,g,g,d) -> (1,h,w,d) separable, fp32, HIGHEST precision
+    patch_pos = jnp.einsum("bghd,Hg->bHhd", patch_pos, wh, precision=jax.lax.Precision.HIGHEST)
+    patch_pos = jnp.einsum("bHgd,Wg->bHWd", patch_pos, ww, precision=jax.lax.Precision.HIGHEST)
+    patch_pos = patch_pos.reshape(1, h * w, -1).astype(pos_embed.dtype)
+    return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+
+def patchify(pixel_values: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, h*w, patch*patch*C) with (ph, pw, c) fastest-varying.
+
+    The flattening order matches how the converter flattens the torch
+    Conv2d kernel, so ``patches @ kernel`` == Conv2d(stride=patch).
+    """
+    b, hh, ww, c = pixel_values.shape
+    h, w = hh // patch, ww // patch
+    x = pixel_values.reshape(b, h, patch, w, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (b, h, w, ph, pw, c)
+    return x.reshape(b, h * w, patch * patch * c)
+
+
+def vit_embed(params: dict, cfg: ViTConfig, pixel_values: jnp.ndarray, dtype) -> jnp.ndarray:
+    b, hh, ww, _ = pixel_values.shape
+    grid = (hh // cfg.patch_size, ww // cfg.patch_size)
+    x = patchify(pixel_values.astype(dtype), cfg.patch_size)
+    x = linear(x, params["patch_embed"])
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    pos = interpolate_pos_embed(params["pos_embed"], grid)
+    return x + pos.astype(dtype)
+
+
+def dinov2_layer(x: jnp.ndarray, p: dict, cfg: ViTConfig) -> jnp.ndarray:
+    h = layer_norm(x, p["ln1"], cfg.layer_norm_eps)
+    q = split_heads(linear(h, p["attn"]["q"]), cfg.num_attention_heads)
+    k = split_heads(linear(h, p["attn"]["k"]), cfg.num_attention_heads)
+    v = split_heads(linear(h, p["attn"]["v"]), cfg.num_attention_heads)
+    a = merge_heads(attention(q, k, v))
+    a = linear(a, p["attn"]["o"])
+    x = x + a * p["ls1"].astype(x.dtype)
+
+    m = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
+    m = linear(m, p["mlp"]["fc1"])
+    m = gelu(m)
+    m = linear(m, p["mlp"]["fc2"])
+    return x + m * p["ls2"].astype(x.dtype)
+
+
+def vit_encoder(layers: dict, cfg: ViTConfig, x: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
+    """Scan the stacked layers over x (B, L, D)."""
+
+    def body(h, layer_params):
+        fn = dinov2_layer
+        if remat:
+            fn = jax.checkpoint(dinov2_layer, static_argnums=(2,))
+        return fn(h, layer_params, cfg), None
+
+    x, _ = jax.lax.scan(body, x, layers)
+    return x
+
+
+def vit_forward(
+    params: dict,
+    cfg: ViTConfig,
+    pixel_values: jnp.ndarray,
+    *,
+    dtype=jnp.float32,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Full tower: (B, H, W, C) NHWC float -> (B, 1+h*w, D) tokens.
+
+    Equivalent to HF ``Dinov2Model(pixel_values).last_hidden_state``
+    (ref modeling.py:98-99) with the final LayerNorm applied when
+    ``cfg.use_final_layernorm``.
+    """
+    x = vit_embed(params, cfg, pixel_values, dtype)
+    x = vit_encoder(params["layers"], cfg, x, remat=remat)
+    if cfg.use_final_layernorm:
+        x = layer_norm(x, params["final_ln"], cfg.layer_norm_eps)
+    return x

@@ -13,7 +13,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# keep matmuls deterministic & fp32 on CPU for parity tests
-os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# keep matmuls deterministic & true-fp32 for parity tests (the env var is
+# not reliably honored; jax.config is)
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
