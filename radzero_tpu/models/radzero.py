@@ -1,0 +1,272 @@
+"""RadZeroModel — the composite vision-language alignment model.
+
+Functional rebuild of ``CxrAlignModel`` (exp/cxr_pt/model/modeling.py:23-356):
+frozen DINOv2 ViT tower -> trainable align transformer -> VL-CABS loss
+head, plus the MPNet sentence tower, under one param pytree whose
+top-level keys mirror the reference's module names so the finetune
+policy ``module_to_update: [align_transformer, text_model, loss_fns]``
+(model/__init__.py:58-79, radzero.yaml:50) carries over directly.
+
+Param tree:
+    vision_model      — ViT (frozen by default)
+    align_transformer — stacked DINOv2 layers (+ optional trailing LN)
+    text_model        — MPNet
+    text_projector    — optional Linear(text_dim -> 2*hidden) (modeling.py:69-72)
+    loss_fns          — {"RadZeroLoss": {...}, "OpenClipLoss": ..., ...}
+
+Training batches are flattened & static (SURVEY.md §7): all sentences of
+the global batch in one (S, L) block with ``group_map``/``row_mask``,
+replacing the reference's per-image Python-loop text forwards
+(losses.py:135-147).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from radzero_tpu.losses.clip import (
+    clip_loss,
+    init_clip_loss,
+    init_siglip_loss,
+    siglip_loss,
+)
+from radzero_tpu.losses.radzero_loss import init_radzero_loss, radzero_loss
+from radzero_tpu.models.configuration import RadZeroConfig
+from radzero_tpu.models.mpnet import init_mpnet, masked_mean_pool, mpnet_forward
+from radzero_tpu.models.vit import init_vit, init_vit_layers, vit_encoder, vit_forward
+from radzero_tpu.ops.layers import l2_normalize, layer_norm, linear
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_radzero(
+    key,
+    cfg: RadZeroConfig,
+    loss_apply: tuple[str, ...] = ("RadZeroLoss",),
+) -> dict:
+    kv, ka, kt, kp = jax.random.split(key, 4)
+    params: dict = {
+        "vision_model": init_vit(kv, cfg.vision),
+        "align_transformer": {"layers": init_vit_layers(ka, cfg.align.as_vit())},
+        "text_model": init_mpnet(kt, cfg.text),
+    }
+    if cfg.align.use_layer_norm:
+        params["align_transformer"]["layer_norm"] = {
+            "scale": jnp.ones((cfg.align.hidden_size,), jnp.float32),
+            "bias": jnp.zeros((cfg.align.hidden_size,), jnp.float32),
+        }
+    if cfg.text.use_text_projection:
+        d_in, d_out = cfg.text.hidden_size, 2 * cfg.align.hidden_size
+        params["text_projector"] = {
+            "kernel": jax.random.normal(kp, (d_in, d_out), jnp.float32) * 0.02,
+            "bias": jnp.zeros((d_out,), jnp.float32),
+        }
+    loss_fns = {}
+    for name in loss_apply:
+        if name == "RadZeroLoss":
+            loss_fns[name] = init_radzero_loss(cfg.loss)
+        elif name == "OpenClipLoss":
+            loss_fns[name] = init_clip_loss()
+        elif name == "OpenSigLipLoss":
+            loss_fns[name] = init_siglip_loss()
+        else:
+            raise NotImplementedError(name)
+    params["loss_fns"] = loss_fns
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Submodel forwards
+# ---------------------------------------------------------------------------
+
+def forward_vision(
+    params: dict,
+    cfg: RadZeroConfig,
+    pixel_values: jnp.ndarray,  # (B, H, W, 3) NHWC float
+    *,
+    dtype=jnp.float32,
+    remat: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """ViT tower + align transformer + pooled image features
+    (ref modeling.py:96-123)."""
+    tokens = vit_forward(params["vision_model"], cfg.vision, pixel_values, dtype=dtype, remat=remat)
+    at = params["align_transformer"]
+    tokens = vit_encoder(at["layers"], cfg.align.as_vit(), tokens, remat=remat)
+    if cfg.align.use_layer_norm:
+        tokens = layer_norm(tokens, at["layer_norm"], cfg.align.layer_norm_eps)
+
+    cls_token = tokens[:, 0]
+    patch_tokens = tokens[:, 1:]
+    image_features = jnp.concatenate([cls_token, jnp.mean(patch_tokens, axis=1)], axis=-1)
+    image_features = l2_normalize(image_features)
+    return {
+        "vision_tokens": tokens,
+        "image_cls_token": cls_token,
+        "image_patch_tokens": patch_tokens,
+        "image_features": image_features,
+    }
+
+
+def forward_text(
+    params: dict,
+    cfg: RadZeroConfig,
+    input_ids: jnp.ndarray,       # (S, L) int32
+    attention_mask: jnp.ndarray,  # (S, L)
+    *,
+    dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """MPNet tower + optional projector + masked mean pooling
+    (ref modeling.py:125-156)."""
+    hidden = mpnet_forward(params["text_model"], cfg.text, input_ids, attention_mask, dtype=dtype)
+    if cfg.text.use_text_projection:
+        hidden = linear(hidden, params["text_projector"])  # applied to token embeddings
+    if cfg.text.use_cls_token:
+        text_features = hidden[:, 0, :]
+    else:
+        text_features = masked_mean_pool(hidden, attention_mask)
+    return {
+        "text_features_wo_l2_norm": text_features,
+        "text_features": l2_normalize(text_features),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Training forward (global-view batch)
+# ---------------------------------------------------------------------------
+
+def forward_train(
+    params: dict,
+    cfg: RadZeroConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    loss_ratio: Optional[Dict[str, float]] = None,
+    dtype=jnp.float32,
+    remat: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """One training forward over the flattened global batch
+    (ref modeling.py:213-276).
+
+    batch keys:
+        pixel_values         (B, H, W, 3)
+        input_ids            (S, L)   flattened sentences, global order
+        attention_mask       (S, L)
+        group_map            (S,)     global image index per sentence
+        row_mask             (S,)     1.0 real sentence / 0.0 padding
+        random_input_ids     (B, L)   one random positive per image
+                                      (only if CLIP/SigLIP losses active)
+        random_attention_mask(B, L)
+    """
+    loss_ratio = loss_ratio or {name: 1.0 for name in params["loss_fns"]}
+    vision = forward_vision(params, cfg, batch["pixel_values"], dtype=dtype, remat=remat)
+
+    losses: Dict[str, jnp.ndarray] = {}
+    total = jnp.asarray(0.0, jnp.float32)
+
+    for name, lparams in params["loss_fns"].items():
+        if name == "RadZeroLoss":
+            text = forward_text(
+                params, cfg, batch["input_ids"], batch["attention_mask"], dtype=dtype
+            )
+            out = radzero_loss(
+                lparams,
+                cfg.loss,
+                text["text_features_wo_l2_norm"],
+                text["text_features"],
+                batch["group_map"],
+                batch["row_mask"],
+                vision["vision_tokens"],
+            )
+            losses["t2i_loss"] = out["losses"]["t2i_loss"]
+            losses["radzero_loss"] = out["losses"]["loss"]
+            loop_loss = out["losses"]["loss"]
+        elif name in ("OpenClipLoss", "OpenSigLipLoss"):
+            text = forward_text(
+                params, cfg, batch["random_input_ids"], batch["random_attention_mask"], dtype=dtype
+            )
+            fn = clip_loss if name == "OpenClipLoss" else siglip_loss
+            key = "clip_loss" if name == "OpenClipLoss" else "siglip_loss"
+            loop_loss = fn(lparams, vision["image_features"], text["text_features"])
+            losses[key] = loop_loss
+        else:
+            raise NotImplementedError(name)
+        total = total + loop_loss * loss_ratio.get(name, 1.0)
+
+    losses["loss"] = total
+    return {"losses": losses, **vision}
+
+
+# ---------------------------------------------------------------------------
+# Zero-shot logits (public inference path)
+# ---------------------------------------------------------------------------
+
+def compute_logits(
+    params: dict,
+    cfg: RadZeroConfig,
+    pixel_values: jnp.ndarray,    # (B, H, W, 3)
+    input_ids: jnp.ndarray,       # (N, L) one row per prompt sentence
+    attention_mask: jnp.ndarray,  # (N, L)
+    *,
+    dtype=jnp.float32,
+    remat: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Zero-shot scoring: (B images) x (N prompts) -> logits + maps
+    (ref modeling.py:278-328, 'radzero' branch).
+
+    Returns:
+        logits             (B, N)       = t2i_logits.T / exp(loss_temperature)
+        similarity_scores  (B, N, L-1)  pre-softmax cos maps, CLS column
+                                        removed (modeling.py:311-317)
+    """
+    if cfg.compute_logits_type != "radzero":
+        return _compute_logits_alignment(
+            params, cfg, pixel_values, input_ids, attention_mask, dtype=dtype, remat=remat
+        )
+
+    vision = forward_vision(params, cfg, pixel_values, dtype=dtype, remat=remat)
+    text = forward_text(params, cfg, input_ids, attention_mask, dtype=dtype)
+
+    lparams = params["loss_fns"]["RadZeroLoss"]
+    out = radzero_loss(
+        lparams,
+        cfg.loss,
+        text["text_features_wo_l2_norm"],
+        text["text_features"],
+        group_map=jnp.arange(input_ids.shape[0]),
+        row_mask=jnp.ones((input_ids.shape[0],), jnp.float32),
+        vision_tokens=vision["vision_tokens"],
+        need_scores=True,
+        compute_loss=False,
+    )
+    scores = out["similarity_scores"]  # (B, N, L_attn)
+    if cfg.loss.use_vision_cls_token:
+        scores = scores[:, :, 1:]  # strip CLS column (modeling.py:316-317)
+
+    loss_temp = jnp.exp(lparams["log_loss_temperature"][0])
+    logits = out["t2i_logits"].T / loss_temp  # (B, N) (modeling.py:324-328)
+    return {"logits": logits, "similarity_scores": scores}
+
+
+def _compute_logits_alignment(
+    params, cfg, pixel_values, input_ids, attention_mask, *, dtype, remat
+):
+    """cls_alignment / global_alignment alternates (modeling.py:330-353)."""
+    vision = forward_vision(params, cfg, pixel_values, dtype=dtype, remat=remat)
+    text = forward_text(params, cfg, input_ids, attention_mask, dtype=dtype)
+    key_features = text["text_features"]  # (N, D)
+
+    if cfg.compute_logits_type == "cls_alignment":
+        logits = vision["image_cls_token"] @ key_features.T
+        return {"logits": logits}
+    if cfg.compute_logits_type == "global_alignment":
+        logits = vision["image_features"] @ key_features.T
+        hidden = cfg.align.hidden_size
+        scores = jnp.einsum(
+            "ind,jd->ijn", vision["image_patch_tokens"], key_features[:, hidden:]
+        )
+        return {"logits": logits, "similarity_scores": scores}
+    raise NotImplementedError(cfg.compute_logits_type)
