@@ -15,8 +15,12 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# keep matmuls deterministic & true-fp32 for parity tests (the env var is
-# not reliably honored; jax.config is)
+# A pytest plugin may import jax before this conftest runs, latching the
+# platform from the ambient JAX_PLATFORMS (axon/TPU). Override through
+# jax.config, which works post-import as long as no backend was created.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+# keep matmuls deterministic & true-fp32 for parity tests (the env var is
+# not reliably honored; jax.config is)
 jax.config.update("jax_default_matmul_precision", "highest")
