@@ -1,0 +1,196 @@
+"""Training data pipeline: decode -> process -> pack -> prefetch.
+
+Replaces the reference's DataLoader workers + ragged collate
+(dataset.py:122-183) with a TPU-static pipeline:
+
+- every batch is (B images, S = B * max_sentences_per_image sentence
+  slots): each image contributes up to ``max_sentences_per_image``
+  finding sentences (random subsample when it has more, as a form of
+  sentence dropout; the reference feeds all sentences ragged), padded
+  slots carry ``row_mask = 0`` and are provably inert in the loss
+  (tests/test_vlcabs_and_mpnce.py::test_mpnce_padding_invariance);
+- ``group_map`` holds *global* image indices (process offset applied),
+  mirroring the rank offset of losses.py:149-151;
+- image decode/resize runs on a thread pool; batches are assembled on
+  host and double-buffer-prefetched to device shardings.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from dataclasses import dataclass
+from queue import Queue
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class PackSpec:
+    max_sentences_per_image: int = 8
+    max_text_tokens: int = 64
+    with_random_positive: bool = False  # for CLIP/SigLIP aux losses
+
+
+def pack_batch(
+    records: List[dict],
+    images: np.ndarray,          # (B, H, W, 3) processed pixel values
+    tokenizer,
+    spec: PackSpec,
+    rng: Optional[np.random.Generator] = None,
+    global_offset: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Pack B records into the static flattened-batch layout."""
+    rng = rng or np.random.default_rng(0)
+    B = len(records)
+    S = B * spec.max_sentences_per_image
+
+    texts: List[str] = []
+    group: List[int] = []
+    for i, rec in enumerate(records):
+        phrases = rec["key_phrases"]
+        if len(phrases) > spec.max_sentences_per_image:
+            idx = rng.choice(len(phrases), spec.max_sentences_per_image, replace=False)
+            phrases = [phrases[j] for j in idx]
+        texts.extend(phrases)
+        group.extend([global_offset + i] * len(phrases))
+
+    n_real = len(texts)
+    texts = texts + [""] * (S - n_real)
+    ids, mask = tokenizer(texts, spec.max_text_tokens)
+
+    group_map = np.zeros((S,), np.int32)
+    group_map[:n_real] = np.asarray(group, np.int32)
+    row_mask = np.zeros((S,), np.float32)
+    row_mask[:n_real] = 1.0
+
+    batch = {
+        "pixel_values": images.astype(np.float32),
+        "input_ids": ids,
+        "attention_mask": mask,
+        "group_map": group_map,
+        "row_mask": row_mask,
+    }
+
+    if spec.with_random_positive:
+        rand_texts = [rec["key_phrases"][rng.integers(len(rec["key_phrases"]))] for rec in records]
+        rids, rmask = tokenizer(rand_texts, spec.max_text_tokens)
+        batch["random_input_ids"] = rids
+        batch["random_attention_mask"] = rmask
+    return batch
+
+
+class TrainLoader:
+    """Epoch iterator: shuffle -> threaded decode -> pack -> prefetch queue.
+
+    ``image_loader(record) -> np.ndarray (H, W, 3) processed`` lets the
+    caller choose decode backend (PIL file read, in-memory test arrays,
+    or the native C++ preprocessing extension).
+    """
+
+    def __init__(
+        self,
+        records: List[dict],
+        image_loader: Callable[[dict], np.ndarray],
+        tokenizer,
+        batch_size: int,
+        spec: PackSpec,
+        *,
+        seed: int = 42,
+        shuffle: bool = True,
+        num_threads: int = 8,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.records = records
+        self.image_loader = image_loader
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.spec = spec
+        self.seed = seed
+        self.shuffle = shuffle
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.records) // self.batch_size
+        if not self.drop_last and len(self.records) % self.batch_size:
+            n += 1
+        return n
+
+    def _batches(self, order: np.ndarray) -> Iterator[List[dict]]:
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start : start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield [self.records[i] for i in chunk]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = np.arange(len(self.records))
+        if self.shuffle:
+            rng.shuffle(order)
+        self.epoch += 1
+
+        q: Queue = Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                for recs in self._batches(order):
+                    imgs = np.stack(list(pool.map(self.image_loader, recs)))
+                    q.put(pack_batch(recs, imgs, self.tokenizer, self.spec, rng))
+            q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
+def device_prefetch(host_iter, mesh=None, size: int = 2):
+    """Overlap host batch assembly with device compute by eagerly
+    device_put-ing ``size`` batches ahead (sharded over the mesh when given)."""
+    import jax
+
+    from radzero_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def put(b):
+        if sharding is None:
+            return {k: jax.device_put(v) for k, v in b.items()}
+        return {k: jax.device_put(v, sharding) for k, v in b.items()}
+
+    buf = []
+    it = iter(host_iter)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.pop(0)
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
+def pil_image_loader(processor) -> Callable[[dict], np.ndarray]:
+    """Default image_loader: open record['image'] with PIL, run processor."""
+    from PIL import Image
+
+    def load(record: dict) -> np.ndarray:
+        with Image.open(record["image"]) as im:
+            return processor(im)["pixel_values"][0]
+
+    return load
