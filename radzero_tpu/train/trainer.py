@@ -1,0 +1,290 @@
+"""RadZeroTrainer — the explicit JAX training loop.
+
+Collapses the reference's 1855-line HF-Trainer fork (common/trainer.py)
+into a small host orchestrator around the jitted global-view train step.
+The fork's *real* customisations are preserved (SURVEY.md §7):
+
+- multi-loss telemetry: each sub-loss logged separately per
+  ``logging_steps`` (common/trainer.py:361-364,952-995);
+- per-epoch evaluation with ``eval_loss`` model selection and early
+  stopping (config.yaml:13-19, run.py:109-113);
+- epoch-wise checkpointing with ``save_total_limit`` pruning, resume
+  (step/epoch restore), and best-model-at-end
+  (common/trainer.py:561-632,888-936);
+- samples/sec speed metrics (common/trainer.py:903-909).
+
+What is gone by design: DDP/DeepSpeed/FSDP/SageMaker/Apex branches —
+a single Mesh covers every scale (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radzero_tpu.models.configuration import RadZeroConfig
+from radzero_tpu.models.radzero import init_radzero
+from radzero_tpu.parallel.mesh import batch_sharding, create_mesh, replicated_sharding
+from radzero_tpu.train.checkpoint import (
+    get_last_checkpoint,
+    load_trainer_state,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from radzero_tpu.train.optim import build_optimizer, partition_params
+from radzero_tpu.train.step import make_eval_step, make_train_step
+from radzero_tpu.utils.logging import logger
+
+
+@dataclass
+class TrainerArgs:
+    """Subset of HF TrainingArguments the recipe uses (config.yaml:1-27)."""
+
+    output_dir: str = "/tmp/radzero_run"
+    learning_rate: float = 1e-4
+    num_train_epochs: int = 10
+    weight_decay: float = 0.05
+    max_grad_norm: float = 1.0
+    warmup_steps: int = 50
+    logging_steps: int = 10
+    save_total_limit: Optional[int] = None
+    metric_for_best_model: str = "eval_loss"
+    greater_is_better: bool = False
+    load_best_model_at_end: bool = True
+    early_stopping_patience: Optional[int] = None
+    bf16: bool = True
+    gradient_checkpointing: bool = False
+    seed: int = 42
+    module_to_update: tuple = ("align_transformer", "text_model", "loss_fns")
+    loss_ratio: Optional[Dict[str, float]] = None
+    report_to: str = "none"
+
+
+@dataclass
+class TrainerState:
+    step: int = 0
+    epoch: int = 0
+    best_metric: Optional[float] = None
+    best_checkpoint: Optional[str] = None
+    patience_left: Optional[int] = None
+    log_history: List[Dict[str, Any]] = field(default_factory=list)
+
+
+class RadZeroTrainer:
+    def __init__(
+        self,
+        model_cfg: RadZeroConfig,
+        args: TrainerArgs,
+        train_loader,                      # iterable of packed host batches
+        eval_loader=None,
+        params: Optional[dict] = None,
+        mesh=None,
+        metrics_callback: Optional[Callable[[Dict[str, Any]], None]] = None,
+    ):
+        self.cfg = model_cfg
+        self.args = args
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.mesh = mesh if mesh is not None else create_mesh({"data": -1})
+        self.metrics_callback = metrics_callback
+
+        params = params if params is not None else init_radzero(
+            jax.random.PRNGKey(args.seed), model_cfg
+        )
+        self.trainable, self.frozen = partition_params(params, args.module_to_update)
+
+        steps_per_epoch = max(len(train_loader), 1)
+        total_steps = steps_per_epoch * args.num_train_epochs
+        self.optimizer, self.schedule = build_optimizer(
+            self.trainable,
+            learning_rate=args.learning_rate,
+            weight_decay=args.weight_decay,
+            max_grad_norm=args.max_grad_norm,
+            warmup_steps=args.warmup_steps,
+            total_steps=total_steps,
+        )
+        self.opt_state = self.optimizer.init(self.trainable)
+
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        self.train_step = make_train_step(
+            model_cfg,
+            self.optimizer,
+            loss_ratio=args.loss_ratio,
+            dtype=dtype,
+            remat=args.gradient_checkpointing,
+            donate=True,
+        )
+        self.eval_step = make_eval_step(model_cfg, loss_ratio=args.loss_ratio, dtype=dtype)
+        self.state = TrainerState(
+            patience_left=args.early_stopping_patience,
+        )
+
+        rep = replicated_sharding(self.mesh)
+        self.trainable = jax.device_put(self.trainable, rep)
+        self.frozen = jax.device_put(self.frozen, rep)
+        self.opt_state = jax.device_put(self.opt_state, rep)
+
+    # ------------------------------------------------------------------
+    @property
+    def params(self) -> dict:
+        return {**self.trainable, **self.frozen}
+
+    def _ckpt_state(self) -> dict:
+        return {"trainable": self.trainable, "opt_state": self.opt_state}
+
+    def _put_batch(self, batch: Dict[str, np.ndarray]) -> dict:
+        sharding = batch_sharding(self.mesh)
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    # ------------------------------------------------------------------
+    def maybe_resume(self, resume_from_checkpoint=None) -> None:
+        """Restore params/opt-state/counters (HF resume semantics)."""
+        path = resume_from_checkpoint
+        if path is True or path is None:
+            path = get_last_checkpoint(self.args.output_dir)
+        if not path:
+            return
+        logger.info(f"resuming from checkpoint {path}")
+        restored = restore_checkpoint(path, self._ckpt_state())
+        self.trainable = restored["trainable"]
+        self.opt_state = restored["opt_state"]
+        meta = load_trainer_state(path)
+        self.state.step = meta.get("step", 0)
+        self.state.epoch = meta.get("epoch", 0)
+        self.state.best_metric = meta.get("best_metric")
+        self.state.best_checkpoint = meta.get("best_checkpoint")
+        self.state.patience_left = meta.get(
+            "patience_left", self.args.early_stopping_patience
+        )
+
+    # ------------------------------------------------------------------
+    def _log(self, record: Dict[str, Any]) -> None:
+        self.state.log_history.append(record)
+        logger.info(
+            " ".join(
+                f"{k}={v:.6g}" if isinstance(v, (int, float)) else f"{k}={v}"
+                for k, v in record.items()
+            )
+        )
+        if self.metrics_callback:
+            self.metrics_callback(record)
+        if self.args.report_to == "wandb":
+            try:
+                import wandb
+
+                if wandb.run is not None:
+                    wandb.log(record, step=record.get("step"))
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------------
+    def evaluate(self) -> Dict[str, float]:
+        """Mean of the per-loss dicts over the eval set
+        (ref evaluation_loop multi-loss carry, common/trainer.py:1017-1494)."""
+        if self.eval_loader is None:
+            return {}
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in self.eval_loader:
+            losses = self.eval_step(self.params, self._put_batch(batch))
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        if n == 0:
+            return {}
+        return {f"eval_{k}": v / n for k, v in sums.items()}
+
+    # ------------------------------------------------------------------
+    def _is_better(self, metric: float) -> bool:
+        if self.state.best_metric is None:
+            return True
+        if self.args.greater_is_better:
+            return metric > self.state.best_metric
+        return metric < self.state.best_metric
+
+    def train(self, resume_from_checkpoint=None) -> TrainerState:
+        self.maybe_resume(resume_from_checkpoint)
+        args = self.args
+
+        for epoch in range(self.state.epoch, args.num_train_epochs):
+            epoch_t0 = time.perf_counter()
+            n_samples = 0
+            running: Dict[str, float] = {}
+            running_n = 0
+
+            for batch in self.train_loader:
+                n_samples += len(batch["pixel_values"])
+                self.trainable, self.opt_state, losses = self.train_step(
+                    self.trainable, self.frozen, self.opt_state, self._put_batch(batch)
+                )
+                self.state.step += 1
+                for k, v in losses.items():
+                    running[k] = running.get(k, 0.0) + float(v)
+                running_n += 1
+
+                if self.state.step % args.logging_steps == 0:
+                    rec = {k: v / running_n for k, v in running.items()}
+                    rec.update(
+                        step=self.state.step,
+                        epoch=epoch,
+                        lr=float(self.schedule(self.state.step)),
+                    )
+                    self._log(rec)
+                    running, running_n = {}, 0
+
+            self.state.epoch = epoch + 1
+            dt = time.perf_counter() - epoch_t0
+            epoch_metrics: Dict[str, Any] = {
+                "step": self.state.step,
+                "epoch": epoch + 1,
+                "train_samples_per_second": n_samples / max(dt, 1e-9),
+            }
+
+            eval_metrics = self.evaluate()
+            epoch_metrics.update(eval_metrics)
+            self._log(epoch_metrics)
+
+            # checkpoint + best selection + early stopping
+            meta = {
+                "step": self.state.step,
+                "epoch": self.state.epoch,
+                "best_metric": self.state.best_metric,
+                "best_checkpoint": self.state.best_checkpoint,
+                "patience_left": self.state.patience_left,
+                "metrics": epoch_metrics,
+            }
+            path = save_checkpoint(
+                args.output_dir,
+                self.state.step,
+                self._ckpt_state(),
+                meta,
+                save_total_limit=args.save_total_limit,
+                best_path=self.state.best_checkpoint,
+            )
+
+            metric_key = args.metric_for_best_model
+            if metric_key in eval_metrics:
+                metric = eval_metrics[metric_key]
+                if self._is_better(metric):
+                    self.state.best_metric = metric
+                    self.state.best_checkpoint = path
+                    self.state.patience_left = args.early_stopping_patience
+                elif self.state.patience_left is not None:
+                    self.state.patience_left -= 1
+                    if self.state.patience_left <= 0:
+                        logger.info(
+                            f"early stopping at epoch {epoch + 1} "
+                            f"(best {metric_key}={self.state.best_metric:.6g})"
+                        )
+                        break
+
+        if args.load_best_model_at_end and self.state.best_checkpoint:
+            logger.info(f"loading best model from {self.state.best_checkpoint}")
+            restored = restore_checkpoint(self.state.best_checkpoint, self._ckpt_state())
+            self.trainable = restored["trainable"]
+        return self.state
