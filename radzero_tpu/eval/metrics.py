@@ -1,0 +1,120 @@
+"""Metric primitives for zero-shot evaluation.
+
+Torch-free reimplementation of the metric math the reference imports
+from its vendored CARZero copy (external/CARZero/utils.py:19-199):
+AUROC variants, micro/macro AUPRC, F1, long-tail class splits — plus
+micro-average Dice (the torchmetrics ``DiceScore(num_classes=1)``
+default the reference uses, segmentation_utils.py:254-268) and
+image-level specificity (segmentation_utils.py:136-158).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+from sklearn.metrics import (
+    auc,
+    f1_score,
+    precision_recall_curve,
+    roc_auc_score,
+)
+
+
+def eval_auc(results: np.ndarray, gt_labels: np.ndarray):
+    """(macro, micro, weighted, per-class) AUROC (ref utils.py:151-156)."""
+    macro = roc_auc_score(gt_labels, results, average="macro")
+    micro = roc_auc_score(gt_labels, results, average="micro")
+    weighted = roc_auc_score(gt_labels, results, average="weighted")
+    per = roc_auc_score(gt_labels, results, average=None)
+    return macro, micro, weighted, per
+
+
+def eval_f1(y_pred: np.ndarray, gt_labels: np.ndarray):
+    micro = f1_score(gt_labels, y_pred, average="micro")
+    macro = f1_score(gt_labels, y_pred, average="macro")
+    weighted = f1_score(gt_labels, y_pred, average="weighted")
+    return micro, macro, weighted
+
+
+def calculate_micro_macro_auprc(y_true: np.ndarray, y_scores: np.ndarray) -> Tuple[float, float]:
+    """Micro + macro AUPRC over multi-label arrays (ref utils.py:19-47)."""
+    n_labels = y_true.shape[1]
+    per = []
+    for i in range(n_labels):
+        precision, recall, _ = precision_recall_curve(y_true[:, i], y_scores[:, i])
+        per.append(auc(recall, precision))
+    macro_auprc = float(np.mean(per))
+
+    precision, recall, _ = precision_recall_curve(y_true.ravel(), y_scores.ravel())
+    micro_auprc = float(auc(recall, precision))
+    return micro_auprc, macro_auprc
+
+
+def long_tail_multi_label_split(y_true: np.ndarray):
+    """head/medium/tail class indices: head > 65th-percentile frequency,
+    tail <= 10 positives (ref utils.py:184-199)."""
+    class_freq = np.sum(y_true, axis=0)
+    head_thr = np.percentile(class_freq, 65)
+    medium_thr = 10
+    head = np.where(class_freq > head_thr)[0]
+    medium = np.where((class_freq <= head_thr) & (class_freq > medium_thr))[0]
+    tail = np.where(class_freq <= medium_thr)[0]
+    return head, medium, tail
+
+
+def micro_dice(pred: np.ndarray, target: np.ndarray, eps: float = 1e-12) -> float:
+    """Micro-average Dice over the pooled batch: 2|P∩T| / (|P|+|T|)
+    (torchmetrics segmentation.DiceScore(num_classes=1) default,
+    the reference's dice primitive: segmentation_utils.py:256-258)."""
+    pred = pred.astype(np.float64)
+    target = target.astype(np.float64)
+    inter = float((pred * target).sum())
+    denom = float(pred.sum() + target.sum())
+    if denom == 0:
+        return 0.0
+    return 2.0 * inter / denom
+
+
+def best_threshold_dice(
+    positive_probs: np.ndarray, positive_masks: np.ndarray, thresholds=None
+) -> Tuple[float, float]:
+    """Threshold sweep 0..1 step .01 maximising Dice over positives
+    (ref segmentation_utils.py:254-268)."""
+    thresholds = thresholds if thresholds is not None else np.arange(0, 1.01, 0.01)
+    best_dice, best_t = 0.0, 0.0
+    for t in thresholds:
+        d = micro_dice((positive_probs > t).astype(np.int64), positive_masks)
+        if d > best_dice:
+            best_dice, best_t = d, float(t)
+    return best_dice, best_t
+
+
+def compute_specificity(negative_probs: np.ndarray, threshold: float) -> float:
+    """Fraction of negative images with NO pixel above threshold
+    (ref segmentation_utils.py:136-158)."""
+    flat = negative_probs.reshape(len(negative_probs), -1)
+    true_neg = ((flat > threshold).sum(axis=1) == 0).sum()
+    return float(true_neg / len(negative_probs))
+
+
+def pixel_auroc(all_probs: np.ndarray, all_masks: np.ndarray) -> float:
+    return float(roc_auc_score(all_masks.ravel().astype(np.int64), all_probs.ravel()))
+
+
+def rle2mask(rle: str, height: int, width: int) -> np.ndarray:
+    """SIIM relative-start RLE -> (height, width) binary mask.
+
+    Column-major decode then transpose (ref segmentation_utils.py:21-33;
+    the reference's swapped-argument call at :200 is only consistent for
+    the square 1024x1024 SIIM DICOMs — this signature is unambiguous and
+    identical to the reference on that data)."""
+    mask = np.zeros(width * height)
+    array = np.asarray([int(x) for x in rle.split()])
+    starts, lengths = array[0::2], array[1::2]
+    pos = 0
+    for start, length in zip(starts, lengths):
+        pos += start
+        mask[pos : pos + length] = 1
+        pos += length
+    return mask.reshape(width, height).T

@@ -1,0 +1,176 @@
+"""Batched zero-shot scorer: the device-side engine of the eval harness.
+
+Wraps ``compute_logits`` in a shape-bucketed jit cache and a threaded
+host decode pipeline, replacing the reference's DataLoader-per-dataset
+loops (inference/utils.py:70-106, grounding_utils.py:31-66). The last
+partial batch is padded to the bucket size so every dataset compiles
+exactly one executable per prompt-set shape.
+
+fp32 eval matches the reference's protocol (run.py:137 casts to fp32);
+bf16 mode is the throughput path.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radzero_tpu.models.configuration import RadZeroConfig
+from radzero_tpu.models.radzero import compute_logits
+
+
+class ZeroShotScorer:
+    def __init__(
+        self,
+        params: dict,
+        cfg: RadZeroConfig,
+        image_processor,
+        tokenizer,
+        *,
+        batch_size: int = 64,
+        dtype=jnp.float32,
+        num_threads: int = 8,
+    ):
+        self.cfg = cfg
+        self.image_processor = image_processor
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.dtype = dtype
+        self.num_threads = num_threads
+        self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        self._jitted = {}
+
+    # ------------------------------------------------------------------
+    def _fn(self, need_scores: bool):
+        key = need_scores
+        if key not in self._jitted:
+
+            def fn(params, pixel_values, input_ids, attention_mask):
+                out = compute_logits(
+                    params, self.cfg, pixel_values, input_ids, attention_mask,
+                    dtype=self.dtype,
+                )
+                if need_scores:
+                    return out["logits"], out["similarity_scores"]
+                return (out["logits"],)
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    # ------------------------------------------------------------------
+    def encode_prompts(self, prompts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        ids, mask = self.tokenizer(prompts)
+        return ids, mask
+
+    def _process_image(self, loader: Callable, item) -> np.ndarray:
+        return self.image_processor(loader(item))["pixel_values"][0]
+
+    # ------------------------------------------------------------------
+    def score(
+        self,
+        items: List,
+        load_image: Callable,
+        prompts: List[str],
+        *,
+        need_scores: bool = False,
+        precision_context: bool = True,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Score every item x prompt.
+
+        Returns logits (n_items, n_prompts) and, when requested,
+        similarity maps (n_items, n_prompts, n_patches).
+        """
+        ids, mask = self.encode_prompts(prompts)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        fn = self._fn(need_scores)
+
+        logits_parts: list = []
+        score_parts: list = []
+
+        ctx = (
+            jax.default_matmul_precision("highest")
+            if (precision_context and self.dtype == jnp.float32)
+            else _nullcontext()
+        )
+        with ctx:
+            with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                for start in range(0, len(items), self.batch_size):
+                    chunk = items[start : start + self.batch_size]
+                    imgs = np.stack(
+                        list(pool.map(lambda it: self._process_image(load_image, it), chunk))
+                    )
+                    n = len(imgs)
+                    if n < self.batch_size:  # pad to the bucket, slice after
+                        pad = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
+                        imgs = np.concatenate([imgs, pad], axis=0)
+                    out = fn(self.params, jnp.asarray(imgs, self.dtype), ids, mask)
+                    logits_parts.append(np.asarray(out[0], np.float32)[:n])
+                    if need_scores:
+                        score_parts.append(np.asarray(out[1], np.float32)[:n])
+
+        logits = np.concatenate(logits_parts, axis=0)
+        scores = np.concatenate(score_parts, axis=0) if need_scores else None
+        return logits, scores
+
+
+    # ------------------------------------------------------------------
+    def score_paired(
+        self,
+        items: List,
+        load_image: Callable,
+        texts: List[str],
+        *,
+        need_scores: bool = False,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Each item scored against ITS OWN sentence (referring-expression
+        protocol). Batches B images x B prompts and takes the diagonal —
+        the vision tower (the hot path) runs batched instead of the
+        reference's batch-1 loop (grounding_utils.py:291,
+        segmentation_utils.py:186).
+
+        Returns logits (n,) and optionally maps (n, n_patches).
+        """
+        fn = self._fn(need_scores)
+        bs = self.batch_size
+        logits_parts, score_parts = [], []
+        with cf.ThreadPoolExecutor(self.num_threads) as pool:
+            for start in range(0, len(items), bs):
+                chunk = items[start : start + bs]
+                chunk_texts = texts[start : start + bs]
+                imgs = np.stack(
+                    list(pool.map(lambda it: self._process_image(load_image, it), chunk))
+                )
+                n = len(imgs)
+                if n < bs:
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[-1:], bs - n, axis=0)], axis=0
+                    )
+                    chunk_texts = chunk_texts + [chunk_texts[-1]] * (bs - n)
+                ids, mask = self.encode_prompts(chunk_texts)
+                out = fn(
+                    self.params,
+                    jnp.asarray(imgs, self.dtype),
+                    jnp.asarray(ids),
+                    jnp.asarray(mask),
+                )
+                logits = np.asarray(out[0], np.float32)  # (bs, bs)
+                diag = np.arange(bs)
+                logits_parts.append(logits[diag, diag][:n])
+                if need_scores:
+                    scores = np.asarray(out[1], np.float32)  # (bs, bs, L)
+                    score_parts.append(scores[diag, diag][:n])
+        logits = np.concatenate(logits_parts, axis=0)
+        scores = np.concatenate(score_parts, axis=0) if need_scores else None
+        return logits, scores
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

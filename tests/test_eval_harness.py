@@ -1,0 +1,191 @@
+"""End-to-end zero-shot eval harness test on synthetic disk datasets.
+
+Builds miniature Chexpert / ChestXDet10 / MS-CXR / SIIM / RSNA datasets
+(PNG images; the DICOM reader is suffix-dispatched) and runs the full
+Inference facade with a small random model, asserting every task
+produces finite metrics and result.json files.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from radzero_tpu.data.processing import BlipStyleImageProcessor
+from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
+from radzero_tpu.eval.inference import Inference
+from radzero_tpu.eval.scorer import ZeroShotScorer
+from radzero_tpu.models.configuration import (
+    AlignConfig,
+    LossConfig,
+    RadZeroConfig,
+    TextConfig,
+    ViTConfig,
+)
+from radzero_tpu.models.radzero import init_radzero
+
+D = 32
+CFG = RadZeroConfig(
+    vision=ViTConfig(
+        hidden_size=D, num_hidden_layers=1, num_attention_heads=2, mlp_ratio=2.0,
+        patch_size=14, pretrain_img_size=28, img_size=28,
+    ),
+    text=TextConfig(
+        hidden_size=D, num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
+        vocab_size=5003, max_position_embeddings=40,
+    ),
+    align=AlignConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2, mlp_ratio=2.0),
+    loss=LossConfig(hidden_dim=D),
+)
+
+CHEXPERT5 = ["Atelectasis", "Cardiomegaly", "Consolidation", "Edema", "Pleural Effusion"]
+XDET10_PROMPTS = [
+    "Atelectasis", "Tissue Calcification", "Pulmonary Consolidation",
+    "Pleural Effusion", "Pulmonary Emphysema", "Fibrosis", "Bone Fracture",
+    "Pulmonary Mass", "Lung Nodule", "Pneumothorax",
+]
+XDET10_CLASSES = [
+    "Atelectasis", "Calcification", "Consolidation", "Effusion", "Emphysema",
+    "Fibrosis", "Fracture", "Mass", "Nodule", "Pneumothorax",
+]
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evaldata")
+    rng = np.random.default_rng(0)
+    n = 8
+
+    # images
+    (root / "imgs").mkdir()
+    for i in range(n):
+        arr = rng.integers(0, 256, (70 + i, 60, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / "imgs" / f"{i}.png")
+
+    # ---- Chexpert classification
+    (root / "Chexpert").mkdir()
+    pd.DataFrame({"Path": [f"imgs/{i}.png" for i in range(n)]}).to_csv(
+        root / "Chexpert" / "chexpert5_test_image.csv", index=False
+    )
+    with open(root / "Chexpert" / "chexpert5_test_text.json", "w") as f:
+        json.dump({str(i): [f"There is {c}"] for i, c in enumerate(CHEXPERT5)}, f)
+    labels = rng.integers(0, 2, (n, 5))
+    labels[0] = 1  # ensure both classes present everywhere
+    labels[1] = 0
+    pd.DataFrame(labels, columns=CHEXPERT5).to_csv(
+        root / "Chexpert" / "test_labels.csv", index=False
+    )
+
+    # ---- ChestXDet10 grounding + classification labels
+    (root / "ChestXDet10").mkdir()
+    pd.DataFrame({"Path": [f"imgs/{i}.png" for i in range(n)]}).to_csv(
+        root / "ChestXDet10" / "chestXDet10_test_image.csv", index=False
+    )
+    with open(root / "ChestXDet10" / "chestXDet10_test_text.json", "w") as f:
+        json.dump({str(i): [f"There is {p}"] for i, p in enumerate(XDET10_PROMPTS)}, f)
+    test_rows = []
+    for i in range(n):
+        syms = [XDET10_CLASSES[i % 10]]
+        boxes = [[5, 5, 40, 40]]
+        test_rows.append({"file_name": f"imgs/{i}.png", "syms": syms, "boxes": boxes})
+    with open(root / "ChestXDet10" / "test.json", "w") as f:
+        json.dump(test_rows, f)
+
+    # ---- MS-CXR
+    (root / "MS-CXR").mkdir()
+    mscxr = [
+        {
+            "image": f"imgs/{i}.png",
+            "det": [{"name": f"left lung opacity {i}", "label": [[0, 0, 59, 69]]}],
+        }
+        for i in range(4)
+    ]
+    with open(root / "MS-CXR" / "test.json", "w") as f:
+        json.dump(mscxr, f)
+
+    # ---- SIIM (png instead of dcm; suffix-dispatched loader)
+    (root / "SIIM").mkdir()
+    rows = []
+    for i in range(n):
+        rle = "10 6" if i % 2 == 0 else " -1"
+        rows.append(
+            {"ImageId": f"id{i}", "dicom_path": f"imgs/{i}.png", " EncodedPixels": rle}
+        )
+    pd.DataFrame(rows).to_csv(root / "SIIM" / "test.csv", index=False)
+
+    # ---- RSNA
+    (root / "RSNA").mkdir()
+    rows = []
+    for i in range(n):
+        boxes = "5;5;20;20" if i % 2 == 0 else np.nan
+        rows.append({"img_path": f"imgs/{i}.png", "boxes": boxes})
+    pd.DataFrame(rows).to_csv(root / "RSNA" / "test.csv", index=False)
+
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    params = init_radzero(jax.random.PRNGKey(0), CFG)
+    return ZeroShotScorer(
+        params,
+        CFG,
+        BlipStyleImageProcessor(size=28),
+        WhitespaceHashTokenizer(vocab_size=5003, max_length=12),
+        batch_size=4,
+    )
+
+
+def test_classification_suite(data_root, scorer, tmp_path):
+    inf = Inference(["Chexpert"], [], [], data_root, batch_size=4)
+    out = inf.classification(scorer, str(tmp_path / "cls"))
+    assert out is not None and "Chexpert" in out
+    assert 0.0 <= out["Chexpert"]["Total AUC"] <= 1.0
+    assert os.path.exists(tmp_path / "cls" / "result.json")
+    assert os.path.exists(tmp_path / "cls" / "Chexpert.csv")
+    sims = pd.read_csv(tmp_path / "cls" / "Chexpert.csv")
+    assert sims.shape == (8, 5)
+
+
+def test_grounding_suite(data_root, scorer, tmp_path):
+    inf = Inference([], ["ChestXDet10", "MS-CXR"], [], data_root, batch_size=4)
+    out = inf.grounding(scorer, str(tmp_path / "det"))
+    assert out is not None
+    assert 0.0 <= out["ChestXDet10"]["mean_pointing_score"] <= 1.0
+    assert 0.0 <= out["MS-CXR"] <= 1.0
+    # every MS-CXR bbox covers the whole image -> accuracy must be 1
+    assert out["MS-CXR"] == 1.0
+
+
+def test_segmentation_suite(data_root, scorer, tmp_path):
+    inf = Inference([], [], ["SIIM", "RSNA"], data_root, batch_size=4)
+    out = inf.segmentation(scorer, str(tmp_path / "seg"), compute_pixel_level_auroc=True)
+    assert out is not None
+    for k in ("SIIM", "RSNA"):
+        r = out[k]
+        assert 0.0 <= r["auc"] <= 1.0
+        assert 0.0 <= r["dice"] <= 1.0
+        assert 0.0 <= r["best_threshold"] <= 1.0
+        assert "pixel_level_auroc" in r
+
+
+def test_model_inference_public_api(data_root, scorer):
+    """README quickstart parity: (similarity_prob, similarity_map)."""
+    from radzero_tpu.eval.api import model_inference
+
+    params = scorer.params
+    prob, smap = model_inference(
+        os.path.join(data_root, "imgs/0.png"),
+        "There is fibrosis",
+        WhitespaceHashTokenizer(vocab_size=5003, max_length=12),
+        BlipStyleImageProcessor(size=28),
+        (params, CFG),
+    )
+    assert prob.shape == (1,)
+    assert 0.0 <= float(prob[0]) <= 1.0
+    assert smap.shape == (1, 70, 60)
+    assert np.all((smap >= 0) & (smap <= 1))
