@@ -95,6 +95,64 @@ def convert_dinov2_encoder_only(sd: StateDict, num_layers: int, prefix: str = "l
     return convert_dinov2_layers(sd, num_layers, prefix=prefix)
 
 
+def _strip_prefix(sd: StateDict, prefix: str) -> StateDict:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def convert_radzero_checkpoint(
+    sd: StateDict,
+    vision_layers: int = 12,
+    align_layers: int = 2,
+    text_layers: int = 12,
+) -> dict:
+    """Full reference CxrAlignModel state_dict -> radzero_tpu param tree.
+
+    Source module layout (exp/cxr_pt/model/modeling.py:51-94):
+        vision_model.*                       (HF Dinov2Model)
+        align_transformer.transformer_layers.* (HF Dinov2Encoder)
+        align_transformer.layer_norm.*       (optional)
+        text_model.*                         (HF MPNetModel)
+        text_projector.*                     (optional Linear)
+        loss_fns.RadZeroLoss.layer_norm.*    shared modality LN
+        loss_fns.RadZeroLoss.loss_temperature  log-temp scalar
+        loss_fns.RadZeroLoss.attn_temperature  optional log-temp
+    """
+    params: dict = {
+        "vision_model": convert_dinov2(_strip_prefix(sd, "vision_model."), vision_layers),
+        "align_transformer": {
+            "layers": convert_dinov2_layers(
+                sd, align_layers, prefix="align_transformer.transformer_layers.layer"
+            )
+        },
+        "text_model": convert_mpnet(_strip_prefix(sd, "text_model."), text_layers),
+    }
+    if "align_transformer.layer_norm.weight" in sd:
+        params["align_transformer"]["layer_norm"] = _ln(sd, "align_transformer.layer_norm")
+    if "text_projector.weight" in sd:
+        params["text_projector"] = _lin(sd, "text_projector")
+
+    loss: dict = {}
+    if "loss_fns.RadZeroLoss.loss_temperature" in sd:
+        loss["log_loss_temperature"] = sd["loss_fns.RadZeroLoss.loss_temperature"].copy()
+    if "loss_fns.RadZeroLoss.attn_temperature" in sd:
+        loss["log_attn_temperature"] = sd["loss_fns.RadZeroLoss.attn_temperature"].copy()
+    if "loss_fns.RadZeroLoss.layer_norm.weight" in sd:
+        loss["layer_norm"] = _ln(sd, "loss_fns.RadZeroLoss.layer_norm")
+    params["loss_fns"] = {"RadZeroLoss": loss}
+
+    clip: dict = {}
+    if "loss_fns.OpenClipLoss.logit_scale" in sd:
+        clip["log_logit_scale"] = sd["loss_fns.OpenClipLoss.logit_scale"].copy()
+        params["loss_fns"]["OpenClipLoss"] = clip
+    sig: dict = {}
+    if "loss_fns.OpenSigLipLoss.logit_scale" in sd:
+        sig["log_logit_scale"] = sd["loss_fns.OpenSigLipLoss.logit_scale"].copy()
+        sig["logit_bias"] = sd["loss_fns.OpenSigLipLoss.logit_bias"].copy()
+        params["loss_fns"]["OpenSigLipLoss"] = sig
+    return params
+
+
 def convert_mpnet(sd: StateDict, num_layers: int) -> dict:
     """HF MPNetModel state_dict -> mpnet params pytree."""
     layers = []
