@@ -42,24 +42,26 @@ def main():
     attention_mask = jnp.ones((n_prompts, ltxt), jnp.int32)
 
     @jax.jit
-    def fn(params, pixel_values, input_ids, attention_mask):
+    def fn(params, pixel_values, input_ids, attention_mask, acc):
         out = compute_logits(
             params, cfg, pixel_values, input_ids, attention_mask, dtype=jnp.bfloat16
         )
-        return out["logits"], out["similarity_scores"]
+        # checksum folded into the same dispatch: serialises iterations
+        # without an extra host round-trip per step
+        acc = acc + out["logits"][0, 0].astype(jnp.float32)
+        return out["logits"], out["similarity_scores"], acc
 
     # warmup / compile (force host sync — block_until_ready can be a no-op
     # through the axon device tunnel, so fetch a scalar instead)
-    logits, scores = fn(params, pixel_values, input_ids, attention_mask)
-    float(jnp.sum(logits))
+    acc = jnp.zeros((), jnp.float32)
+    logits, scores, acc = fn(params, pixel_values, input_ids, attention_mask, acc)
+    float(acc)
 
     # chain a data dependency between iterations so laziness can't elide work
     iters = 10
     t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.float32)
     for _ in range(iters):
-        logits, scores = fn(params, pixel_values, input_ids, attention_mask)
-        acc = acc + logits[0, 0].astype(jnp.float32)
+        logits, scores, acc = fn(params, pixel_values, input_ids, attention_mask, acc)
     float(acc)  # host sync
     dt = time.perf_counter() - t0
 

@@ -28,6 +28,7 @@ class ViTConfig:
     pretrain_img_size: int = 224  # grid the stored pos-embeds correspond to
     img_size: int = 518           # runtime resolution (ref radzero.yaml:19)
     use_final_layernorm: bool = True  # Dinov2Model applies a final LN
+    attn_impl: str = "flash"      # flash (Pallas) | xla (eager einsum)
 
     @property
     def head_dim(self) -> int:
@@ -63,6 +64,7 @@ class AlignConfig:
     layer_norm_eps: float = 1e-6
     layerscale_value: float = 1.0
     use_layer_norm: bool = False  # optional trailing LN (radzero.yaml:34: False)
+    attn_impl: str = "flash"
 
     def as_vit(self) -> ViTConfig:
         return ViTConfig(
@@ -73,6 +75,7 @@ class AlignConfig:
             layer_norm_eps=self.layer_norm_eps,
             layerscale_value=self.layerscale_value,
             use_final_layernorm=False,
+            attn_impl=self.attn_impl,
         )
 
 

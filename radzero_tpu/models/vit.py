@@ -149,7 +149,12 @@ def dinov2_layer(x: jnp.ndarray, p: dict, cfg: ViTConfig) -> jnp.ndarray:
     q = split_heads(linear(h, p["attn"]["q"]), cfg.num_attention_heads)
     k = split_heads(linear(h, p["attn"]["k"]), cfg.num_attention_heads)
     v = split_heads(linear(h, p["attn"]["v"]), cfg.num_attention_heads)
-    a = merge_heads(attention(q, k, v))
+    if cfg.attn_impl == "flash":
+        from radzero_tpu.ops.flash_attention import flash_attention
+
+        a = merge_heads(flash_attention(q, k, v))
+    else:
+        a = merge_heads(attention(q, k, v))
     a = linear(a, p["attn"]["o"])
     x = x + a * p["ls1"].astype(x.dtype)
 

@@ -1,0 +1,162 @@
+"""Pallas TPU flash attention for the ViT towers.
+
+Non-causal multi-head attention over ~1370 tokens (ViT-B @ 518px,
+SURVEY.md §3 hot loop (a)). The XLA path materialises the per-layer
+(B, H, L, L) fp32 score tensor (~5.8 GB of HBM traffic per ViT-B layer
+at batch 64); this kernel keeps scores in VMEM:
+
+- K/V for one (batch, head) fit comfortably in VMEM (1408 x 64 bf16
+  = 176 KB each), so no online-softmax streaming is needed: the grid is
+  (B*H, L/block_q), K/V blocks are revisited across the q dimension
+  (loaded once per (b,h)), and each program computes
+  softmax(q K^T * scale) V for one q block with fp32 scores.
+- Sequence padding to a lane multiple is masked with -inf key columns.
+- fp32 softmax matches the eager-attention semantics of the towers
+  (parity tests run this kernel in interpret mode on CPU).
+
+Differentiable via custom_vjp: the backward recomputes attention with
+the standard flash-attention gradient identities
+(dV = P^T dO, dP = dO V^T, dS = P*(dP - rowsum(dP*P))), expressed in
+jnp — the backward path only matters for the 2-layer align transformer
+during training; the 12 frozen ViT layers never run it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _pad_len(n: int, m: int = _LANE) -> int:
+    return (n + m - 1) // m * m
+
+
+def _pick_block_q(l_pad: int) -> int:
+    # largest divisor of l_pad that keeps fp32 scores under ~4 MB VMEM
+    for cand in (1024, 704, 512, 352, 256, 128):
+        if l_pad % cand == 0 and cand * l_pad * 4 <= 4 * 1024 * 1024:
+            return cand
+    return _LANE
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_real: int, stable: bool):
+    q = q_ref[0]  # (block_q, hd)
+    k = k_ref[0]  # (l_pad, hd)
+    v = v_ref[0]
+    # fold softmax's exp -> exp2 rescaling into the score scale
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)  # (block_q, l_pad), fp32
+    l_pad = k.shape[0]
+    if l_real < l_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < l_real, s, -jnp.inf)
+    if stable:
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+    # deferred division: normalise the (block_q, hd) output instead of the
+    # (block_q, l_pad) probabilities — the denominator sum stays on the VPU
+    # but the big divide pass disappears
+    e = jnp.exp2(s)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    num = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (num / den).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    stable: Optional[bool] = None,
+) -> jnp.ndarray:
+    """(B, L, H, hd) q/k/v -> (B, L, H, hd); same contract as ops.layers.attention.
+
+    ``stable=None`` resolves to True for fp32 inputs (exact softmax with
+    max subtraction) and False for bf16 (skips the rowwise-max pass;
+    safe while |scores| < ~85 — trained ViT attention logits sit far
+    below that, and exp2 overflow would surface as inf/nan immediately).
+    """
+    return _forward(q, k, v, scale, stable)
+
+
+def _forward(q, k, v, scale, stable=None):
+    b, l, h, hd = q.shape
+    if scale is None:
+        scale = hd**-0.5
+    if stable is None:
+        stable = q.dtype == jnp.float32
+    l_pad = _pad_len(l)
+    block_q = _pick_block_q(l_pad)
+
+    def to_bh(x):  # (B, L, H, hd) -> (B*H, L_pad, hd)
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, l, hd)
+        if l_pad != l:
+            x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        return x
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+
+    grid = (b * h, l_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=float(scale), l_real=l, stable=stable),
+        out_shape=jax.ShapeDtypeStruct((b * h, l_pad, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=jax.default_backend() == "cpu",
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * l_pad * l_pad * hd,
+            bytes_accessed=(3 * b * h * l_pad * hd + b * h * l_pad * hd) * q.dtype.itemsize,
+            transcendentals=b * h * l_pad * l_pad,
+        ),
+    )(qb, kb, vb)
+
+    out = out[:, :l].reshape(b, h, l, hd).transpose(0, 2, 1, 3)
+    return out
+
+
+def _ref_attention(q, k, v, scale):
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    return p, jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v)
+
+
+def _fwd(q, k, v, scale, stable):
+    return _forward(q, k, v, scale, stable), (q, k, v)
+
+
+def _bwd(scale, stable, residuals, g):
+    q, k, v = residuals
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    # recompute probabilities, then standard softmax-attention gradients
+    p, _ = _ref_attention(q, k, v, scale)          # (b, h, q, k) fp32
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - row) * scale
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_fwd, _bwd)

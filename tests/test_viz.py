@@ -1,0 +1,105 @@
+"""Visualization suite tests: panels and segmaps render and save."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from radzero_tpu.data.processing import BlipStyleImageProcessor
+from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
+from radzero_tpu.eval.scorer import ZeroShotScorer
+from radzero_tpu.models.configuration import (
+    AlignConfig,
+    LossConfig,
+    RadZeroConfig,
+    TextConfig,
+    ViTConfig,
+)
+from radzero_tpu.models.radzero import init_radzero
+from radzero_tpu.viz.overlays import (
+    draw_boxes,
+    draw_mask_contours,
+    extract_similarity_map,
+    overlay_heatmap,
+    render_attention_panel,
+)
+from radzero_tpu.viz.segmap import compute_segmap, render_segmap
+
+D = 32
+CFG = RadZeroConfig(
+    vision=ViTConfig(
+        hidden_size=D, num_hidden_layers=1, num_attention_heads=2, mlp_ratio=2.0,
+        patch_size=14, pretrain_img_size=28, img_size=28,
+    ),
+    text=TextConfig(
+        hidden_size=D, num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
+        vocab_size=5003, max_position_embeddings=40,
+    ),
+    align=AlignConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2, mlp_ratio=2.0),
+    loss=LossConfig(hidden_dim=D),
+)
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    params = init_radzero(jax.random.PRNGKey(0), CFG)
+    return ZeroShotScorer(
+        params, CFG, BlipStyleImageProcessor(size=28),
+        WhitespaceHashTokenizer(vocab_size=5003, max_length=12), batch_size=1,
+    )
+
+
+@pytest.fixture(scope="module")
+def image_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("viz") / "x.png"
+    arr = np.random.default_rng(0).integers(0, 256, (90, 70, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(p)
+    return str(p)
+
+
+def test_extract_similarity_map(scorer, image_path):
+    probs, maps, image = extract_similarity_map(
+        scorer, image_path, ["There is Edema", "There is no finding"]
+    )
+    assert probs.shape == (2,) and maps.shape == (2, 90, 70)
+    assert image.shape == (90, 70, 3)
+    assert np.all((maps >= 0) & (maps <= 1))
+
+
+def test_overlay_and_drawing_primitives():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (50, 40, 3), dtype=np.uint8)
+    heat = rng.random((50, 40)).astype(np.float32)
+    out = overlay_heatmap(img, heat, blur_sigma=2.0)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+    boxed = draw_boxes(img, [[5, 5, 30, 30]])
+    assert (boxed[5, 5:30] == (0, 255, 0)).all()
+
+    mask = np.zeros((50, 40), bool)
+    mask[10:20, 10:20] = True
+    contoured = draw_mask_contours(img, mask)
+    assert contoured.shape == img.shape
+
+
+def test_render_attention_panel(scorer, image_path, tmp_path):
+    out = str(tmp_path / "panel.png")
+    maps = render_attention_panel(
+        scorer, image_path, ["There is Edema", "There is Mass"], out,
+        boxes=[[2, 2, 30, 30]],
+    )
+    assert os.path.exists(out)
+    assert maps.shape == (2, 90, 70)
+
+
+def test_segmap(scorer, image_path, tmp_path):
+    seg, maps, image = compute_segmap(
+        scorer, image_path, ["heart", "left lung"], threshold=None
+    )
+    assert seg.shape == (90, 70)
+    assert set(np.unique(seg)) <= {0, 1}
+    out = str(tmp_path / "seg.png")
+    render_segmap(image, seg, ["heart", "left lung"], out)
+    assert os.path.exists(out)
