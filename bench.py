@@ -23,8 +23,19 @@ A100_REFERENCE_IMGS_PER_SEC = 55.0  # fp32 torch-eager estimate (see docstring)
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the Pallas path compiles slowly through
+    # the remote-compile tunnel; cache hits make reruns start in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from radzero_tpu.models.configuration import RadZeroConfig
     from radzero_tpu.models.radzero import compute_logits, init_radzero
