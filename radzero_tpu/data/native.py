@@ -1,0 +1,116 @@
+"""ctypes bindings for the native host-preprocessing library.
+
+Loads ``native/libradzero_preproc.so`` (built by ``make -C native``) and
+exposes the fused resize/normalise ops to the data pipeline. Builds the
+library on first use when a compiler is available; falls back cleanly
+(``available() == False``) otherwise, in which case the pipeline uses
+the PIL/numpy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libradzero_preproc.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], capture_output=True, timeout=120, check=True
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        ci = ctypes.c_int
+        lib.resize_bicubic_u8.argtypes = [u8p, ci, ci, ci, u8p, ci, ci]
+        lib.resize_bilinear_u8.argtypes = [u8p, ci, ci, ci, u8p, ci, ci]
+        lib.normalize_u8_to_f32.argtypes = [u8p, ci, ci, ci, f32p, f32p, f32p]
+        lib.resize_normalize_u8.argtypes = [u8p, ci, ci, ci, f32p, ci, ci, f32p, f32p, ci]
+        lib.minmax_u8.argtypes = [u8p, ci, u8p]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def resize_u8(img: np.ndarray, oh: int, ow: int, mode: str = "bicubic") -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    ih, iw, c = img.shape
+    out = np.empty((oh, ow, c), np.uint8)
+    fn = lib.resize_bicubic_u8 if mode == "bicubic" else lib.resize_bilinear_u8
+    fn(_u8p(img), ih, iw, c, _u8p(out), oh, ow)
+    return out
+
+
+def normalize(img: np.ndarray, mean: Sequence[float], std: Sequence[float]) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    out = np.empty((h, w, c), np.float32)
+    m = np.asarray(mean, np.float32)
+    s = np.asarray(std, np.float32)
+    lib.normalize_u8_to_f32(_u8p(img), h, w, c, _f32p(m), _f32p(s), _f32p(out))
+    return out
+
+
+def resize_normalize(
+    img: np.ndarray,
+    oh: int,
+    ow: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    mode: str = "bicubic",
+) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    ih, iw, c = img.shape
+    out = np.empty((oh, ow, c), np.float32)
+    m = np.asarray(mean, np.float32)
+    s = np.asarray(std, np.float32)
+    lib.resize_normalize_u8(
+        _u8p(img), ih, iw, c, _f32p(out), oh, ow, _f32p(m), _f32p(s), 1 if mode == "bicubic" else 0
+    )
+    return out
+
+
+def minmax_normalize(img: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.empty_like(img)
+    lib.minmax_u8(_u8p(img), img.size, _u8p(out))
+    return out

@@ -58,21 +58,41 @@ def _normalize(arr: np.ndarray, mean: Sequence[float], std: Sequence[float]) -> 
 
 @dataclass
 class BlipStyleImageProcessor:
-    """Bicubic resize to (size, size) + rescale + normalize (NHWC out)."""
+    """Bicubic resize to (size, size) + rescale + normalize (NHWC out).
+
+    ``use_native=True`` routes through the fused C++ resize+normalise
+    (native/preproc.cpp) — torch-bicubic resize semantics instead of
+    PIL's antialiased filter, so it is the high-throughput training
+    path; the PIL default is the reference-parity eval path
+    (SURVEY.md §7 hard part #1).
+    """
 
     size: int = 518
     mean: Sequence[float] = CLIP_MEAN
     std: Sequence[float] = CLIP_STD
     geometry: str = "resize"  # inverse: plain bilinear back to (H, W)
+    use_native: bool = False
 
     def __call__(self, images: Union[ImageLike, List[ImageLike]]) -> dict:
         if not isinstance(images, list):
             images = [images]
+        native_mod = None
+        if self.use_native:
+            from radzero_tpu.data import native as native_mod_  # lazy
+
+            native_mod = native_mod_ if native_mod_.available() else None
         out = []
         for im in images:
             im = _to_pil_rgb(im)
-            im = im.resize((self.size, self.size), Image.Resampling.BICUBIC)
-            out.append(_normalize(np.asarray(im), self.mean, self.std))
+            if native_mod is not None:
+                out.append(
+                    native_mod.resize_normalize(
+                        np.asarray(im), self.size, self.size, self.mean, self.std
+                    )
+                )
+            else:
+                im = im.resize((self.size, self.size), Image.Resampling.BICUBIC)
+                out.append(_normalize(np.asarray(im), self.mean, self.std))
         return {"pixel_values": np.stack(out)}
 
 
