@@ -200,6 +200,22 @@ class RadZeroTrainer:
         return {f"eval_{k}": v / n for k, v in sums.items()}
 
     # ------------------------------------------------------------------
+    def predict(self, loader, inference_step: Callable) -> Dict[str, np.ndarray]:
+        """Prediction-only loop (the trainer fork's third loop kind,
+        common/trainer.py:1496-1855): run ``inference_step(params, batch)
+        -> {name: array}`` over a dataset, gather per-batch outputs to
+        host and concatenate. The reference's -100-padded cross-process
+        gather collapses to plain concatenation under the global view.
+        """
+        jitted = jax.jit(inference_step)
+        collected: Dict[str, list] = {}
+        for batch in loader:
+            out = jitted(self.params, self._put_batch(batch))
+            for k, v in out.items():
+                collected.setdefault(k, []).append(np.asarray(v))
+        return {k: np.concatenate(v, axis=0) for k, v in collected.items()}
+
+    # ------------------------------------------------------------------
     def _is_better(self, metric: float) -> bool:
         if self.state.best_metric is None:
             return True
