@@ -48,10 +48,10 @@ def test_trainer_predict_loop(tmp_path):
         align=AlignConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2, mlp_ratio=2.0),
         loss=LossConfig(hidden_dim=D),
     )
-    recs = [{"key_phrases": [f"finding {i}"], "image": i} for i in range(8)]
+    recs = [{"key_phrases": [f"finding {i}"], "image": i} for i in range(16)]
     tok = WhitespaceHashTokenizer(vocab_size=101, max_length=8)
     loader = TrainLoader(
-        recs, lambda r: np.zeros((28, 28, 3), np.float32), tok, 4,
+        recs, lambda r: np.zeros((28, 28, 3), np.float32), tok, 8,
         PackSpec(1, 8), shuffle=False, num_threads=1,
     )
     trainer = RadZeroTrainer(cfg, TrainerArgs(output_dir=str(tmp_path), bf16=False), loader, None)
@@ -61,4 +61,4 @@ def test_trainer_predict_loop(tmp_path):
         return {"image_features": v["image_features"]}
 
     out = trainer.predict(loader, inference_step)
-    assert out["image_features"].shape == (8, 2 * D)
+    assert out["image_features"].shape == (16, 2 * D)
