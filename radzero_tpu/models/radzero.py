@@ -49,17 +49,15 @@ def init_radzero(
     cfg: RadZeroConfig,
     loss_apply: tuple[str, ...] = ("RadZeroLoss",),
 ) -> dict:
+    from radzero_tpu.models.align import build_align_adapter
+
     kv, ka, kt, kp = jax.random.split(key, 4)
+    align_init, _ = build_align_adapter(cfg.align.model_type)
     params: dict = {
         "vision_model": init_vit(kv, cfg.vision),
-        "align_transformer": {"layers": init_vit_layers(ka, cfg.align.as_vit())},
+        "align_transformer": align_init(ka, cfg.align),
         "text_model": init_mpnet(kt, cfg.text),
     }
-    if cfg.align.use_layer_norm:
-        params["align_transformer"]["layer_norm"] = {
-            "scale": jnp.ones((cfg.align.hidden_size,), jnp.float32),
-            "bias": jnp.zeros((cfg.align.hidden_size,), jnp.float32),
-        }
     if cfg.text.use_text_projection:
         d_in, d_out = cfg.text.hidden_size, 2 * cfg.align.hidden_size
         params["text_projector"] = {
@@ -92,13 +90,13 @@ def forward_vision(
     dtype=jnp.float32,
     remat: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """ViT tower + align transformer + pooled image features
+    """ViT tower + align adapter + pooled image features
     (ref modeling.py:96-123)."""
+    from radzero_tpu.models.align import build_align_adapter
+
     tokens = vit_forward(params["vision_model"], cfg.vision, pixel_values, dtype=dtype, remat=remat)
-    at = params["align_transformer"]
-    tokens = vit_encoder(at["layers"], cfg.align.as_vit(), tokens, remat=remat)
-    if cfg.align.use_layer_norm:
-        tokens = layer_norm(tokens, at["layer_norm"], cfg.align.layer_norm_eps)
+    _, align_apply = build_align_adapter(cfg.align.model_type)
+    tokens = align_apply(params["align_transformer"], cfg.align, tokens, remat=remat)
 
     cls_token = tokens[:, 0]
     patch_tokens = tokens[:, 1:]
