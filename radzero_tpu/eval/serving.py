@@ -1,0 +1,180 @@
+"""Production serving engine: micro-batched zero-shot inference.
+
+The reference has no serving runtime (its quickstart is a single-sample
+helper, README.md:60-112). For production deployment this engine wraps
+the zero-shot path in a request/response loop designed for TPU:
+
+- requests (image, prompt-set-id) accumulate in a queue and are flushed
+  as micro-batches (up to ``max_batch`` or after ``max_delay_ms``), so
+  the chip always sees the padded static shape it compiled for;
+- prompt sets are registered ahead of time (tokenised once, one compiled
+  executable per set);
+- host preprocessing runs on a thread pool; device dispatch is
+  single-threaded and async (one in-flight batch while the next one is
+  being assembled — double buffering).
+
+Each submit returns a Future resolving to
+``{"probs": (N,), "similarity_maps": (N, H, W) | None}``.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radzero_tpu.eval.geometry import upsample_similarity_map
+from radzero_tpu.models.configuration import RadZeroConfig
+from radzero_tpu.models.radzero import compute_logits
+
+
+@dataclass
+class _Request:
+    image: np.ndarray           # raw decoded HWC uint8 (or float)
+    origin_hw: Tuple[int, int]
+    prompt_set: str
+    want_maps: bool
+    future: cf.Future
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        params: dict,
+        cfg: RadZeroConfig,
+        image_processor,
+        tokenizer,
+        *,
+        max_batch: int = 16,
+        max_delay_ms: float = 5.0,
+        dtype=jnp.bfloat16,
+        preprocess_threads: int = 8,
+    ):
+        self.cfg = cfg
+        self.image_processor = image_processor
+        self.tokenizer = tokenizer
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1e3
+        self.dtype = dtype
+        self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        self._prompt_sets: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._pool = cf.ThreadPoolExecutor(preprocess_threads)
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._jitted = jax.jit(self._fn)
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    def _fn(self, params, pixel_values, input_ids, attention_mask):
+        out = compute_logits(
+            params, self.cfg, pixel_values, input_ids, attention_mask, dtype=self.dtype
+        )
+        return out["logits"], out["similarity_scores"]
+
+    def register_prompt_set(self, name: str, prompts: List[str]) -> None:
+        ids, mask = self.tokenizer(prompts)
+        self._prompt_sets[name] = (jnp.asarray(ids), jnp.asarray(mask))
+
+    def warmup(self, image_hw: Tuple[int, int] = (512, 512)) -> None:
+        """Compile every (prompt set x padded batch) executable up front."""
+        dummy = np.zeros((*image_hw, 3), np.uint8)
+        pv = self.image_processor(dummy)["pixel_values"]
+        pv = np.repeat(pv, self.max_batch, axis=0)
+        for ids, mask in self._prompt_sets.values():
+            self._jitted(self.params, jnp.asarray(pv, self.dtype), ids, mask)
+
+    # ------------------------------------------------------------------
+    def submit(
+        self, image: np.ndarray, prompt_set: str, want_maps: bool = False
+    ) -> cf.Future:
+        if prompt_set not in self._prompt_sets:
+            raise KeyError(f"unknown prompt set {prompt_set!r}")
+        fut: cf.Future = cf.Future()
+        self._queue.put(
+            _Request(image, tuple(image.shape[:2]), prompt_set, want_maps, fut)
+        )
+        return fut
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> List[_Request]:
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = self.max_delay
+        import time
+
+        t0 = time.perf_counter()
+        while len(batch) < self.max_batch:
+            remaining = deadline - (time.perf_counter() - t0)
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req.prompt_set != first.prompt_set:
+                self._queue.put(req)  # flush current set first
+                break
+            batch.append(req)
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._process(batch)
+            except Exception as e:  # pragma: no cover - fault containment
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _process(self, batch: List[_Request]) -> None:
+        imgs = np.stack(
+            list(
+                self._pool.map(
+                    lambda r: self.image_processor(r.image)["pixel_values"][0], batch
+                )
+            )
+        )
+        n = len(imgs)
+        if n < self.max_batch:
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], self.max_batch - n, axis=0)], axis=0
+            )
+        ids, mask = self._prompt_sets[batch[0].prompt_set]
+        logits, scores = self._jitted(self.params, jnp.asarray(imgs, self.dtype), ids, mask)
+        logits = np.asarray(logits, np.float32)[:n]
+        scores = np.asarray(scores, np.float32)[:n]
+
+        geometry = self.image_processor.geometry
+        for i, req in enumerate(batch):
+            probs = 1.0 / (1.0 + np.exp(-logits[i]))
+            maps = None
+            if req.want_maps:
+                maps = upsample_similarity_map(scores[i], req.origin_hw, geometry)
+                maps = 1.0 / (1.0 + np.exp(-maps))
+            req.future.set_result({"probs": probs, "similarity_maps": maps})
+
+    # ------------------------------------------------------------------
+    def close(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=2)
+        self._pool.shutdown(wait=False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+        return False

@@ -1,0 +1,77 @@
+"""Serving engine + multi-host helper tests."""
+
+import numpy as np
+
+from radzero_tpu.data.processing import BlipStyleImageProcessor
+from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
+from radzero_tpu.eval.serving import ServingEngine
+from radzero_tpu.models.configuration import (
+    AlignConfig,
+    LossConfig,
+    RadZeroConfig,
+    TextConfig,
+    ViTConfig,
+)
+from radzero_tpu.models.radzero import init_radzero
+from radzero_tpu.parallel.mesh import create_mesh
+from radzero_tpu.parallel.multihost import (
+    local_batch_to_global,
+    process_offset,
+    sync,
+)
+
+import jax
+import jax.numpy as jnp
+
+D = 32
+CFG = RadZeroConfig(
+    vision=ViTConfig(
+        hidden_size=D, num_hidden_layers=1, num_attention_heads=2, mlp_ratio=2.0,
+        patch_size=14, pretrain_img_size=28, img_size=28,
+    ),
+    text=TextConfig(
+        hidden_size=D, num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
+        vocab_size=5003, max_position_embeddings=40,
+    ),
+    align=AlignConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2, mlp_ratio=2.0),
+    loss=LossConfig(hidden_dim=D),
+)
+
+
+def test_serving_engine_microbatching():
+    params = init_radzero(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    with ServingEngine(
+        params, CFG, BlipStyleImageProcessor(size=28),
+        WhitespaceHashTokenizer(vocab_size=5003, max_length=10),
+        max_batch=4, max_delay_ms=20, dtype=jnp.float32,
+    ) as engine:
+        engine.register_prompt_set("cls", ["There is Edema", "There is Mass"])
+        engine.warmup(image_hw=(40, 30))
+
+        futs = [
+            engine.submit(
+                rng.integers(0, 256, (40, 30, 3), dtype=np.uint8), "cls",
+                want_maps=(i % 2 == 0),
+            )
+            for i in range(6)
+        ]
+        results = [f.result(timeout=120) for f in futs]
+
+    for i, r in enumerate(results):
+        assert r["probs"].shape == (2,)
+        assert np.all((r["probs"] >= 0) & (r["probs"] <= 1))
+        if i % 2 == 0:
+            assert r["similarity_maps"].shape == (2, 40, 30)
+        else:
+            assert r["similarity_maps"] is None
+
+
+def test_multihost_helpers_single_process():
+    mesh = create_mesh({"data": 8})
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+    out = local_batch_to_global(batch, mesh)
+    assert out["x"].shape == (16, 1)
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+    assert process_offset(4) == 0  # single process
+    sync()  # no-op single process
