@@ -48,6 +48,18 @@ class BertConfig:
         return self.hidden_size // self.num_attention_heads
 
 
+def bert_config_from_text(text_cfg) -> "BertConfig":
+    """Adapt the composite model's TextConfig to a BertConfig."""
+    return BertConfig(
+        hidden_size=text_cfg.hidden_size,
+        num_hidden_layers=text_cfg.num_hidden_layers,
+        num_attention_heads=text_cfg.num_attention_heads,
+        intermediate_size=text_cfg.intermediate_size,
+        vocab_size=text_cfg.vocab_size,
+        max_position_embeddings=text_cfg.max_position_embeddings,
+    )
+
+
 def _init_linear(key, d_in, d_out, std=0.02):
     return {
         "kernel": jax.random.normal(key, (d_in, d_out), jnp.float32) * std,

@@ -53,10 +53,33 @@ def init_radzero(
 
     kv, ka, kt, kp = jax.random.split(key, 4)
     align_init, _ = build_align_adapter(cfg.align.model_type)
+
+    vision_type = getattr(cfg.vision, "model_type", "dinov2")
+    if vision_type == "dinov2":
+        vision_params = init_vit(kv, cfg.vision)
+    else:
+        from radzero_tpu.models.encoders import build_vision_encoder
+
+        vision_init, _ = build_vision_encoder(vision_type)
+        vision_params = vision_init(kv, cfg.vision)
+
+    text_type = getattr(cfg.text, "model_type", "mpnet")
+    if text_type == "mpnet":
+        text_params = init_mpnet(kt, cfg.text)
+    elif text_type in ("bert", "bioclinicalmpbert"):
+        from radzero_tpu.models.bert import bert_config_from_text, init_bert
+
+        text_params = init_bert(kt, bert_config_from_text(cfg.text))
+    else:
+        from radzero_tpu.models.encoders import build_text_encoder
+
+        text_init, _ = build_text_encoder(text_type)
+        text_params = text_init(kt, cfg.text)
+
     params: dict = {
-        "vision_model": init_vit(kv, cfg.vision),
+        "vision_model": vision_params,
         "align_transformer": align_init(ka, cfg.align),
-        "text_model": init_mpnet(kt, cfg.text),
+        "text_model": text_params,
     }
     if cfg.text.use_text_projection:
         d_in, d_out = cfg.text.hidden_size, 2 * cfg.align.hidden_size
@@ -90,11 +113,23 @@ def forward_vision(
     dtype=jnp.float32,
     remat: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """ViT tower + align adapter + pooled image features
-    (ref modeling.py:96-123)."""
+    """Vision tower + align adapter + pooled image features
+    (ref modeling.py:96-123). The tower dispatches on
+    ``cfg.vision.model_type`` through the encoder registry
+    (dinov2 default; clip/siglip/xrayclip/biomedclip/m3ae alternates —
+    ref build_vision_encoder, vision_encoders.py:23-43)."""
     from radzero_tpu.models.align import build_align_adapter
 
-    tokens = vit_forward(params["vision_model"], cfg.vision, pixel_values, dtype=dtype, remat=remat)
+    model_type = getattr(cfg.vision, "model_type", "dinov2")
+    if model_type == "dinov2":
+        tokens = vit_forward(
+            params["vision_model"], cfg.vision, pixel_values, dtype=dtype, remat=remat
+        )
+    else:
+        from radzero_tpu.models.encoders import build_vision_encoder
+
+        _, vision_apply = build_vision_encoder(model_type)
+        tokens = vision_apply(params["vision_model"], cfg.vision, pixel_values, dtype=dtype)
     _, align_apply = build_align_adapter(cfg.align.model_type)
     tokens = align_apply(params["align_transformer"], cfg.align, tokens, remat=remat)
 
@@ -118,9 +153,23 @@ def forward_text(
     *,
     dtype=jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
-    """MPNet tower + optional projector + masked mean pooling
-    (ref modeling.py:125-156)."""
-    hidden = mpnet_forward(params["text_model"], cfg.text, input_ids, attention_mask, dtype=dtype)
+    """Text tower + optional projector + masked mean pooling
+    (ref modeling.py:125-206). Dispatches on ``cfg.text.model_type``:
+    mpnet (default) or bert/bioclinicalmpbert."""
+    text_type = getattr(cfg.text, "model_type", "mpnet")
+    if text_type == "mpnet":
+        hidden = mpnet_forward(
+            params["text_model"], cfg.text, input_ids, attention_mask, dtype=dtype
+        )
+    elif text_type in ("bert", "bioclinicalmpbert"):
+        from radzero_tpu.models.bert import bert_config_from_text, bert_forward
+
+        hidden = bert_forward(
+            params["text_model"], bert_config_from_text(cfg.text), input_ids,
+            attention_mask, dtype=dtype,
+        )
+    else:
+        raise NotImplementedError(f"text model_type {text_type!r} in composite model")
     if cfg.text.use_text_projection:
         hidden = linear(hidden, params["text_projector"])  # applied to token embeddings
     if cfg.text.use_cls_token:
