@@ -71,6 +71,7 @@ def radzero_loss(
     *,
     need_scores: bool = False,
     compute_loss: bool = True,
+    impl: str = "xla",
 ) -> Dict[str, jnp.ndarray]:
     outputs: Dict[str, jnp.ndarray] = {}
 
@@ -95,6 +96,7 @@ def radzero_loss(
         sim_op=cfg.sim_op,
         temperature=attn_temp,
         need_scores=need_scores,
+        impl=impl,
     )
     outputs["t2i_logits"] = t2i_logits  # (S, B)
     if scores is not None:

@@ -277,6 +277,8 @@ def compute_logits(
     vision = forward_vision(params, cfg, pixel_values, dtype=dtype, remat=remat)
     text = forward_text(params, cfg, input_ids, attention_mask, dtype=dtype)
 
+    # forward-only path: use the fused Pallas VL-CABS kernel for cos sim
+    impl = "fused" if cfg.loss.sim_op == "cos" else "xla"
     lparams = params["loss_fns"]["RadZeroLoss"]
     out = radzero_loss(
         lparams,
@@ -288,6 +290,7 @@ def compute_logits(
         vision_tokens=vision["vision_tokens"],
         need_scores=True,
         compute_loss=False,
+        impl=impl,
     )
     scores = out["similarity_scores"]  # (B, N, L_attn)
     if cfg.loss.use_vision_cls_token:

@@ -45,24 +45,36 @@ def vlcabs_similarity(
     sim_op: str = "cos",
     temperature: Optional[jnp.ndarray] = None,  # scalar tau (required for cos)
     need_scores: bool = False,
+    impl: str = "xla",           # xla (differentiable) | fused (Pallas, fwd-only)
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Compute (logits (N, B), scores (B, N, L)) — SimilarityLogit semantics."""
     compute_dtype = tokens.dtype
+
+    if impl == "fused" and sim_op == "cos":
+        from radzero_tpu.ops.pallas_vlcabs import vlcabs_fused
+
+        qn = l2_normalize(queries.astype(compute_dtype))
+        logits, scores = vlcabs_fused(qn, tokens, temperature)
+        return logits, (scores if need_scores else None)
 
     if sim_op == "cos":
         if temperature is None:
             raise ValueError("cos sim_op requires a temperature")
         qn = l2_normalize(queries.astype(compute_dtype))
-        tn = l2_normalize(tokens)
-        scores = jnp.einsum("nd,bld->bnl", qn, tn) / temperature.astype(compute_dtype)
+        # NOTE: in cos mode the reference rebinds local_tokens to the
+        # l2-normalised tokens (losses.py:212-213) — aggregation below
+        # therefore runs over the NORMALISED tokens
+        agg_tokens = l2_normalize(tokens)
+        scores = jnp.einsum("nd,bld->bnl", qn, agg_tokens) / temperature.astype(compute_dtype)
     elif sim_op == "dot":
         denom = jnp.sqrt(jnp.asarray(tokens.shape[-1], compute_dtype))
+        agg_tokens = tokens
         scores = jnp.einsum("nd,bld->bnl", queries.astype(compute_dtype), tokens) / denom
     else:
         raise NotImplementedError(f"sim_op {sim_op!r}")
 
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(compute_dtype)
-    aggregated = jnp.einsum("bnl,bld->bnd", attn, tokens)
+    aggregated = jnp.einsum("bnl,bld->bnd", attn, agg_tokens)
 
     qn2 = l2_normalize(jnp.broadcast_to(queries.astype(compute_dtype), aggregated.shape))
     aggn = l2_normalize(aggregated)

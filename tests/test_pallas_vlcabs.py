@@ -1,0 +1,85 @@
+"""Fused Pallas VL-CABS kernel parity vs the jnp reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radzero_tpu.ops.vlcabs import vlcabs_similarity
+
+
+def test_fused_matches_xla_path():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((5, 64)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((3, 37, 64)), jnp.float32)
+    tau = jnp.asarray(0.07, jnp.float32)
+
+    ref_logits, ref_scores = vlcabs_similarity(
+        q, t, sim_op="cos", temperature=tau, need_scores=True, impl="xla"
+    )
+    out_logits, out_scores = vlcabs_similarity(
+        q, t, sim_op="cos", temperature=tau, need_scores=True, impl="fused"
+    )
+    np.testing.assert_allclose(np.asarray(out_logits), np.asarray(ref_logits), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_scores), np.asarray(ref_scores), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_padded_shapes():
+    """Non-aligned N and L are padded internally and sliced back."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((3, 32)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((2, 130, 32)), jnp.float32)
+    tau = jnp.asarray(0.07, jnp.float32)
+    logits, scores = vlcabs_similarity(
+        q, t, sim_op="cos", temperature=tau, need_scores=True, impl="fused"
+    )
+    assert logits.shape == (3, 2)
+    assert scores.shape == (2, 3, 130)
+    ref_logits, ref_scores = vlcabs_similarity(
+        q, t, sim_op="cos", temperature=tau, need_scores=True, impl="xla"
+    )
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores), rtol=1e-4, atol=1e-4)
+
+
+def test_compute_logits_uses_fused_and_matches(monkeypatch):
+    """End-to-end compute_logits parity between fused and xla paths."""
+    from radzero_tpu.models.configuration import (
+        AlignConfig, LossConfig, RadZeroConfig, TextConfig, ViTConfig,
+    )
+    from radzero_tpu.models.radzero import compute_logits, init_radzero
+    import importlib
+
+    rl = importlib.import_module("radzero_tpu.losses.radzero_loss")
+
+    D = 32
+    cfg = RadZeroConfig(
+        vision=ViTConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2,
+                         mlp_ratio=2.0, patch_size=14, pretrain_img_size=28, img_size=28),
+        text=TextConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=64, vocab_size=101, max_position_embeddings=40),
+        align=AlignConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2, mlp_ratio=2.0),
+        loss=LossConfig(hidden_dim=D),
+    )
+    params = init_radzero(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    pv = rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+    ids = rng.integers(3, 101, (3, 8)).astype(np.int32)
+    mask = np.ones((3, 8), np.int32)
+
+    out_fused = compute_logits(params, cfg, pv, ids, mask)
+
+    orig = rl.vlcabs_similarity
+    monkeypatch.setattr(
+        rl, "vlcabs_similarity",
+        lambda *a, **k: orig(*a, **{**k, "impl": "xla"}),
+    )
+    out_xla = compute_logits(params, cfg, pv, ids, mask)
+
+    np.testing.assert_allclose(
+        np.asarray(out_fused["logits"]), np.asarray(out_xla["logits"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fused["similarity_scores"]),
+        np.asarray(out_xla["similarity_scores"]),
+        rtol=1e-4, atol=1e-4,
+    )

@@ -116,7 +116,8 @@ def _oracle_compute_logits(vis, align, txt, ln, x_nchw, ids, mask, tau=0.07):
         tn = F.normalize(tokens_ln, dim=-1)
         scores = torch.einsum("nd,bld->bnl", qn, tn) / tau
         attn = scores.softmax(-1)
-        agg = torch.einsum("bnl,bld->bnd", attn, tokens_ln)
+        # cos mode aggregates the NORMALISED tokens (losses.py:212-224)
+        agg = torch.einsum("bnl,bld->bnd", attn, tn)
         logits_nb = torch.einsum(
             "bnd,bnd->bn", F.normalize(text_ln, dim=-1).unsqueeze(0).expand_as(agg), F.normalize(agg, dim=-1)
         )

@@ -33,11 +33,15 @@ def _oracle_vlcabs(queries, tokens, sim_op, tau):
         for n in range(N):
             q, t = queries[n].astype(np.float64), tokens[b].astype(np.float64)
             if sim_op == "cos":
-                s = (_np_l2(q[None])[0] @ _np_l2(t).T) / tau
+                # cos mode aggregates the NORMALISED tokens (losses.py:212-224)
+                tn = _np_l2(t)
+                s = (_np_l2(q[None])[0] @ tn.T) / tau
+                agg_src = tn
             else:
                 s = (q @ t.T) / np.sqrt(D)
+                agg_src = t
             a = _np_softmax(s)
-            agg = a @ t
+            agg = a @ agg_src
             logits[n, b] = float(_np_l2(q[None])[0] @ _np_l2(agg[None])[0])
             scores[b, n] = s
     return logits, scores
