@@ -76,7 +76,22 @@ def build_everything(cfg: dict, seed: int = 42):
     return model_cfg, params, image_processor, tokenizer
 
 
+def enable_compilation_cache() -> None:
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main() -> None:
+    enable_compilation_cache()
     args = parse_args()
     cfg = Config(args).config
     logger = load_logger()

@@ -43,7 +43,7 @@ def _kernel(tau_ref, q_ref, t_ref, scores_ref, logits_ref, *, l_real: int):
     inv = jax.lax.rsqrt(jnp.sum(t32 * t32, axis=-1, keepdims=True) + 1e-24)
     tn = (t32 * inv).astype(t.dtype)                      # row-normalised tokens
 
-    inv_tau = pl.reciprocal(tau_ref[0, 0], approx=False)
+    inv_tau = 1.0 / tau_ref[0, 0]
     s = jax.lax.dot_general(
         qn, tn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * inv_tau                                           # (N_pad, L_pad)
@@ -60,7 +60,9 @@ def _kernel(tau_ref, q_ref, t_ref, scores_ref, logits_ref, *, l_real: int):
     # cosine against the (unnormalised) aggregate: softmax denom cancels
     num = jnp.sum(qn.astype(jnp.float32) * agg, axis=-1)
     norm = jnp.sqrt(jnp.sum(agg * agg, axis=-1))
-    logits_ref[0] = (num / jnp.maximum(norm, 1e-12)).astype(logits_ref.dtype)
+    logits = (num / jnp.maximum(norm, 1e-12)).astype(logits_ref.dtype)
+    # sublane-aligned (1, 8, N_pad) block; caller keeps row 0
+    logits_ref[0] = jnp.broadcast_to(logits[None, :], logits_ref.shape[1:])
 
 
 def vlcabs_fused(
@@ -88,7 +90,7 @@ def vlcabs_fused(
         functools.partial(_kernel, l_real=l),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_pad, l_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
         ),
         grid=(b,),
         in_specs=[
@@ -98,7 +100,7 @@ def vlcabs_fused(
         ],
         out_specs=(
             pl.BlockSpec((1, n_pad, l_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=jax.default_backend() == "cpu",
         cost_estimate=pl.CostEstimate(
@@ -109,4 +111,4 @@ def vlcabs_fused(
         ),
     )(tau_arr, q, t)
 
-    return logits[:, :n].T, scores[:, :n, :l]
+    return logits[:, 0, :n].T, scores[:, :n, :l]
