@@ -24,3 +24,10 @@ jax.config.update("jax_platforms", "cpu")
 # keep matmuls deterministic & true-fp32 for parity tests (the env var is
 # not reliably honored; jax.config is)
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: the suite is compile-heavy; repeat runs
+# on the same machine start warm
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
