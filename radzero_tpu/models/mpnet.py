@@ -148,6 +148,7 @@ def mpnet_forward(
     attention_mask: jnp.ndarray,
     *,
     dtype=jnp.float32,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """(S, L) int ids + (S, L) mask -> (S, L, D) last hidden state."""
     emb = params["embeddings"]
@@ -168,8 +169,12 @@ def mpnet_forward(
     key_mask = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * neg
     bias = rel + key_mask.astype(dtype)
 
+    layer_fn = mpnet_layer
+    if remat:
+        layer_fn = jax.checkpoint(mpnet_layer, static_argnums=(3,))
+
     def body(h, layer_params):
-        return mpnet_layer(h, layer_params, bias, cfg), None
+        return layer_fn(h, layer_params, bias, cfg), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x

@@ -112,12 +112,16 @@ def forward_vision(
     *,
     dtype=jnp.float32,
     remat: bool = False,
+    stop_tower_gradient: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Vision tower + align adapter + pooled image features
     (ref modeling.py:96-123). The tower dispatches on
     ``cfg.vision.model_type`` through the encoder registry
     (dinov2 default; clip/siglip/xrayclip/biomedclip/m3ae alternates —
-    ref build_vision_encoder, vision_encoders.py:23-43)."""
+    ref build_vision_encoder, vision_encoders.py:23-43).
+
+    ``stop_tower_gradient`` cuts the tape between the (frozen) tower and
+    the trainable align adapter, so autodiff keeps no tower residuals."""
     from radzero_tpu.models.align import build_align_adapter
 
     model_type = getattr(cfg.vision, "model_type", "dinov2")
@@ -130,6 +134,8 @@ def forward_vision(
 
         _, vision_apply = build_vision_encoder(model_type)
         tokens = vision_apply(params["vision_model"], cfg.vision, pixel_values, dtype=dtype)
+    if stop_tower_gradient:
+        tokens = jax.lax.stop_gradient(tokens)
     _, align_apply = build_align_adapter(cfg.align.model_type)
     tokens = align_apply(params["align_transformer"], cfg.align, tokens, remat=remat)
 
@@ -152,6 +158,7 @@ def forward_text(
     attention_mask: jnp.ndarray,  # (S, L)
     *,
     dtype=jnp.float32,
+    remat: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Text tower + optional projector + masked mean pooling
     (ref modeling.py:125-206). Dispatches on ``cfg.text.model_type``:
@@ -159,7 +166,8 @@ def forward_text(
     text_type = getattr(cfg.text, "model_type", "mpnet")
     if text_type == "mpnet":
         hidden = mpnet_forward(
-            params["text_model"], cfg.text, input_ids, attention_mask, dtype=dtype
+            params["text_model"], cfg.text, input_ids, attention_mask, dtype=dtype,
+            remat=remat,
         )
     elif text_type in ("bert", "bioclinicalmpbert"):
         from radzero_tpu.models.bert import bert_config_from_text, bert_forward
@@ -194,6 +202,7 @@ def forward_train(
     loss_ratio: Optional[Dict[str, float]] = None,
     dtype=jnp.float32,
     remat: bool = False,
+    stop_vision_gradient: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """One training forward over the flattened global batch
     (ref modeling.py:213-276).
@@ -209,7 +218,10 @@ def forward_train(
         random_attention_mask(B, L)
     """
     loss_ratio = loss_ratio or {name: 1.0 for name in params["loss_fns"]}
-    vision = forward_vision(params, cfg, batch["pixel_values"], dtype=dtype, remat=remat)
+    vision = forward_vision(
+        params, cfg, batch["pixel_values"], dtype=dtype, remat=remat,
+        stop_tower_gradient=stop_vision_gradient,
+    )
 
     losses: Dict[str, jnp.ndarray] = {}
     total = jnp.asarray(0.0, jnp.float32)
@@ -217,7 +229,8 @@ def forward_train(
     for name, lparams in params["loss_fns"].items():
         if name == "RadZeroLoss":
             text = forward_text(
-                params, cfg, batch["input_ids"], batch["attention_mask"], dtype=dtype
+                params, cfg, batch["input_ids"], batch["attention_mask"], dtype=dtype,
+                remat=remat,
             )
             out = radzero_loss(
                 lparams,
@@ -233,7 +246,8 @@ def forward_train(
             loop_loss = out["losses"]["loss"]
         elif name in ("OpenClipLoss", "OpenSigLipLoss"):
             text = forward_text(
-                params, cfg, batch["random_input_ids"], batch["random_attention_mask"], dtype=dtype
+                params, cfg, batch["random_input_ids"], batch["random_attention_mask"],
+                dtype=dtype, remat=remat,
             )
             fn = clip_loss if name == "OpenClipLoss" else siglip_loss
             key = "clip_loss" if name == "OpenClipLoss" else "siglip_loss"

@@ -35,13 +35,25 @@ def make_train_step(
     dtype=jnp.bfloat16,
     remat: bool = False,
     donate: bool = True,
+    stop_vision_gradient: Optional[bool] = None,
 ) -> Callable:
     """Build ``train_step(trainable, frozen, opt_state, batch) ->
-    (trainable, opt_state, losses)``; jit with donated carry."""
+    (trainable, opt_state, losses)``; jit with donated carry.
+
+    ``stop_vision_gradient=None`` resolves at call time: when the vision
+    tower sits in the frozen subtree, the tape is cut above it so
+    autodiff stores no tower residuals (the reference freezes the tower,
+    radzero.yaml:50)."""
 
     def loss_fn(trainable, frozen, batch):
         params = merge_params(trainable, frozen)
-        out = forward_train(params, cfg, batch, loss_ratio=loss_ratio, dtype=dtype, remat=remat)
+        stop = stop_vision_gradient
+        if stop is None:
+            stop = "vision_model" not in trainable
+        out = forward_train(
+            params, cfg, batch, loss_ratio=loss_ratio, dtype=dtype, remat=remat,
+            stop_vision_gradient=stop,
+        )
         losses = out["losses"]
         return losses["loss"], losses
 

@@ -24,10 +24,13 @@ jax.config.update("jax_platforms", "cpu")
 # keep matmuls deterministic & true-fp32 for parity tests (the env var is
 # not reliably honored; jax.config is)
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compilation cache: the suite is compile-heavy; repeat runs
-# on the same machine start warm
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: the persistent compilation cache is NOT enabled by default here —
+# on the CPU backend of this jax build it aborts the process when cached
+# executables with donated buffers are reloaded (verified empirically).
+# It stays enabled for the TPU paths (bench.py, cli) where it is stable.
+if os.environ.get("RADZERO_TEST_CACHE", "0") == "1":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
