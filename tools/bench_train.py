@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Training-throughput micro-benchmark (flagship recipe, one chip).
+
+Measures the jitted train step — ViT-B/14@518 frozen tower, 2-layer
+align transformer, MPNet, VL-CABS MP-NCE — at the reference's
+per-device batch 64 with the static sentence packing (8/image), bf16
+compute + remat (the radzero preset). Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    if jax.default_backend() != "cpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+    from radzero_tpu.models.configuration import RadZeroConfig
+    from radzero_tpu.models.radzero import init_radzero
+    from radzero_tpu.train.optim import build_optimizer, partition_params
+    from radzero_tpu.train.step import make_train_step
+
+    cfg = RadZeroConfig()
+    params = init_radzero(jax.random.PRNGKey(0), cfg)
+    trainable, frozen = partition_params(params, ["align_transformer", "text_model", "loss_fns"])
+    tx, _ = build_optimizer(trainable, total_steps=10000)
+    opt_state = tx.init(trainable)
+    step = make_train_step(cfg, tx, dtype=jnp.bfloat16, donate=True, remat=True)
+
+    rng = np.random.default_rng(0)
+    b, spi, l = 64, 8, 64
+    s = b * spi
+    batch = {
+        "pixel_values": jnp.asarray(rng.standard_normal((b, 518, 518, 3)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(3, 30000, (s, l)), jnp.int32),
+        "attention_mask": jnp.ones((s, l), jnp.int32),
+        "group_map": jnp.asarray(np.repeat(np.arange(b), spi), jnp.int32),
+        "row_mask": jnp.ones((s,), jnp.float32),
+    }
+
+    trainable, opt_state, losses = step(trainable, frozen, opt_state, batch)
+    float(losses["loss"])  # sync
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        trainable, opt_state, losses = step(trainable, frozen, opt_state, batch)
+    float(losses["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_throughput",
+                "value": round(b / dt, 1),
+                "unit": "samples/sec/chip",
+                "step_ms": round(dt * 1e3, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
