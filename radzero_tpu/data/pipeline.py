@@ -129,7 +129,9 @@ class TrainLoader:
             yield [self.records[i] for i in chunk]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.default_rng(self.seed + self.epoch)
+        # eval loaders (shuffle=False) keep a fixed rng so sentence
+        # subsampling is identical across epochs -> comparable eval losses
+        rng = np.random.default_rng(self.seed + (self.epoch if self.shuffle else 0))
         order = np.arange(len(self.records))
         if self.shuffle:
             rng.shuffle(order)

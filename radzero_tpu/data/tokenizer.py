@@ -64,9 +64,15 @@ class WhitespaceHashTokenizer:
 
 def load_tokenizer(name_or_path: str | None, max_length: int = 64):
     """HF tokenizer when loadable, hash fallback otherwise (zero-egress envs)."""
+    from radzero_tpu.utils.logging import logger
+
     if name_or_path:
         try:
             return HFTokenizer(name_or_path, max_length)
-        except Exception:
-            pass
+        except Exception as e:
+            logger.warning(
+                f"could not load tokenizer {name_or_path!r} ({e}); "
+                "falling back to WhitespaceHashTokenizer (tokens will NOT match "
+                "a pretrained text tower's vocabulary)"
+            )
     return WhitespaceHashTokenizer(max_length=max_length)
