@@ -169,6 +169,14 @@ def forward_text(
             params["text_model"], cfg.text, input_ids, attention_mask, dtype=dtype,
             remat=remat,
         )
+        # MPNet path: projector applied to TOKEN embeddings, pre-pooling
+        # (ref modeling.py:139-140)
+        if cfg.text.use_text_projection:
+            hidden = linear(hidden, params["text_projector"])
+        if cfg.text.use_cls_token:
+            text_features = hidden[:, 0, :]
+        else:
+            text_features = masked_mean_pool(hidden, attention_mask)
     elif text_type in ("bert", "bioclinicalmpbert"):
         from radzero_tpu.models.bert import bert_config_from_text, bert_forward
 
@@ -176,14 +184,15 @@ def forward_text(
             params["text_model"], bert_config_from_text(cfg.text), input_ids,
             attention_mask, dtype=dtype,
         )
+        if cfg.text.use_cls_token:
+            text_features = hidden[:, 0, :]
+        else:
+            text_features = masked_mean_pool(hidden, attention_mask)
+        # BERT path: projector applied to POOLED features (ref modeling.py:202-203)
+        if cfg.text.use_text_projection:
+            text_features = linear(text_features, params["text_projector"])
     else:
         raise NotImplementedError(f"text model_type {text_type!r} in composite model")
-    if cfg.text.use_text_projection:
-        hidden = linear(hidden, params["text_projector"])  # applied to token embeddings
-    if cfg.text.use_cls_token:
-        text_features = hidden[:, 0, :]
-    else:
-        text_features = masked_mean_pool(hidden, attention_mask)
     return {
         "text_features_wo_l2_norm": text_features,
         "text_features": l2_normalize(text_features),
