@@ -58,14 +58,16 @@ def build_everything(cfg: dict, seed: int = 42):
     model_block = cfg["model"]
     model_cfg = radzero_config_from_dict(model_block["model_config"])
 
+    loss_block = model_block["model_config"].get("loss") or {}
+    loss_apply = tuple(loss_block.get("apply", ["RadZeroLoss"]))
+    loss_ratio = dict(zip(loss_apply, loss_block.get("ratio", [1.0] * len(loss_apply))))
+
+    params = init_radzero(jax.random.PRNGKey(seed), model_cfg, loss_apply=loss_apply)
     pretrained = model_block.get("pretrained_ckpt")
     if pretrained:
         from radzero_tpu.train.checkpoint import restore_checkpoint
 
-        params = init_radzero(jax.random.PRNGKey(seed), model_cfg)
         params = restore_checkpoint(pretrained, params)
-    else:
-        params = init_radzero(jax.random.PRNGKey(seed), model_cfg)
 
     vision_cfg_dict = model_block["model_config"]["vision_config"]
     image_processor = build_image_processor(vision_cfg_dict)
@@ -73,7 +75,7 @@ def build_everything(cfg: dict, seed: int = 42):
         model_block["model_config"]["text_config"].get("pretrained_tokenizer_name_or_path"),
         max_length=cfg["train"].get("max_text_tokens", 64),
     )
-    return model_cfg, params, image_processor, tokenizer
+    return model_cfg, params, image_processor, tokenizer, loss_apply, loss_ratio
 
 
 def enable_compilation_cache() -> None:
@@ -98,7 +100,7 @@ def main() -> None:
     output_dir = output_directory_setting(cfg, logger)
     code_snapshot(cfg, output_dir)
 
-    model_cfg, params, image_processor, tokenizer = build_everything(
+    model_cfg, params, image_processor, tokenizer, loss_apply, loss_ratio = build_everything(
         cfg, seed=cfg["train"].get("seed", 42)
     )
 
@@ -106,6 +108,11 @@ def main() -> None:
     spec = PackSpec(
         max_sentences_per_image=cfg["train"].get("max_sentences_per_image", 8),
         max_text_tokens=cfg["train"].get("max_text_tokens", 64),
+        # CLIP/SigLIP aux losses consume one random positive per image
+        # (ref dataset.py:164-170 encoded_random_key_phrases)
+        with_random_positive=any(
+            name in ("OpenClipLoss", "OpenSigLipLoss") for name in loss_apply
+        ),
     )
 
     trainer = None
@@ -139,6 +146,7 @@ def main() -> None:
             module_to_update=tuple(
                 cfg["model"].get("module_to_update", ["align_transformer", "text_model", "loss_fns"])
             ),
+            loss_ratio=loss_ratio,
             report_to=cfg["experiment"].get("report_to", "none"),
         )
         trainer = RadZeroTrainer(
