@@ -100,6 +100,13 @@ def main() -> None:
     output_dir = output_directory_setting(cfg, logger)
     code_snapshot(cfg, output_dir)
 
+    from radzero_tpu.utils.profiling import debug_flags
+
+    debug_flags(
+        nans=bool(cfg["train"].get("debug_nans", False)),
+        deterministic=bool(cfg["train"].get("full_determinism", False)),
+    )
+
     model_cfg, params, image_processor, tokenizer, loss_apply, loss_ratio = build_everything(
         cfg, seed=cfg["train"].get("seed", 42)
     )
@@ -142,6 +149,7 @@ def main() -> None:
             early_stopping_patience=cfg["experiment"].get("early_stopping_patience"),
             bf16=cfg["train"].get("bf16", True),
             gradient_checkpointing=cfg["train"].get("gradient_checkpointing", False),
+            gradient_accumulation_steps=cfg["train"].get("gradient_accumulation_steps", 1),
             seed=cfg["train"].get("seed", 42),
             module_to_update=tuple(
                 cfg["model"].get("module_to_update", ["align_transformer", "text_model", "loss_fns"])

@@ -72,6 +72,7 @@ def build_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    gradient_accumulation_steps: int = 1,
 ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     schedule = warmup_cosine_schedule(learning_rate, warmup_steps, total_steps)
     tx = optax.chain(
@@ -85,4 +86,9 @@ def build_optimizer(
             mask=decay_mask(trainable_params),
         ),
     )
+    if gradient_accumulation_steps > 1:
+        # HF-equivalent accumulation (config.yaml:5): each micro-batch
+        # computes its own contrastive loss; gradients average over k
+        # micro-steps before one optimizer update
+        tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
     return tx, schedule

@@ -59,6 +59,7 @@ class TrainerArgs:
     early_stopping_patience: Optional[int] = None
     bf16: bool = True
     gradient_checkpointing: bool = False
+    gradient_accumulation_steps: int = 1
     seed: int = 42
     module_to_update: tuple = ("align_transformer", "text_model", "loss_fns")
     loss_ratio: Optional[Dict[str, float]] = None
@@ -107,6 +108,7 @@ class RadZeroTrainer:
             max_grad_norm=args.max_grad_norm,
             warmup_steps=args.warmup_steps,
             total_steps=total_steps,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
         )
         self.opt_state = self.optimizer.init(self.trainable)
 
