@@ -107,3 +107,34 @@ def lora_trainable(lora: dict) -> dict:
 
 def with_trainable(lora: dict, trainable: dict) -> dict:
     return {**lora, "adapters": trainable["adapters"]}
+
+
+def save_adapter(lora: dict, path: str) -> None:
+    """Persist only the adapter weights + hyperparams (the peft
+    adapter-checkpoint equivalent, ref model/__init__.py:42-45,100-107)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from radzero_tpu.utils.json_io import save_json
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(os.path.abspath(path), "adapters"), lora["adapters"])
+    ckptr.wait_until_finished()
+    save_json({"r": lora["r"], "alpha": lora["alpha"]}, os.path.join(path, "lora_config.json"))
+
+
+def load_adapter(path: str, target_lora: dict) -> dict:
+    """Restore adapters shaped like ``target_lora`` (from init_lora)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from radzero_tpu.utils.json_io import load_json
+
+    ckptr = ocp.StandardCheckpointer()
+    adapters = ckptr.restore(
+        os.path.join(os.path.abspath(path), "adapters"), target_lora["adapters"]
+    )
+    conf = load_json(os.path.join(path, "lora_config.json"))
+    return {"adapters": adapters, "r": conf["r"], "alpha": conf["alpha"]}

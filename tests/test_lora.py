@@ -80,3 +80,21 @@ def test_lora_gradients_flow_and_change_output():
     l0 = float(loss_fn(lora_trainable(lora)))
     l1 = float(loss_fn(pert))
     assert abs(l0 - l1) > 1e-6
+
+
+def test_lora_adapter_save_load(tmp_path):
+    from radzero_tpu.train.lora import load_adapter, save_adapter
+
+    params = init_radzero(jax.random.PRNGKey(0), CFG)
+    lora = init_lora(jax.random.PRNGKey(1), params, ["attn/q"], r=4, alpha=16)
+    # give adapters nonzero content
+    lora["adapters"] = jax.tree.map(lambda x: x + 0.5, lora["adapters"])
+    save_adapter(lora, str(tmp_path / "adapter"))
+
+    fresh = init_lora(jax.random.PRNGKey(2), params, ["attn/q"], r=4, alpha=16)
+    restored = load_adapter(str(tmp_path / "adapter"), fresh)
+    assert restored["r"] == 4 and restored["alpha"] == 16
+    for k in lora["adapters"]:
+        np.testing.assert_allclose(
+            np.asarray(restored["adapters"][k]["a"]), np.asarray(lora["adapters"][k]["a"])
+        )

@@ -111,3 +111,20 @@ def test_early_stopping(tmp_path):
     trainer = RadZeroTrainer(CFG, args, train, evalset)
     state = trainer.train()
     assert state.epoch < 10  # stopped early
+
+
+def test_save_total_limit_keeps_best(tmp_path):
+    from radzero_tpu.train.checkpoint import list_checkpoints
+
+    train, evalset = _loaders()
+    args = TrainerArgs(
+        output_dir=str(tmp_path), num_train_epochs=4, warmup_steps=1,
+        logging_steps=100, bf16=False, save_total_limit=1,
+        early_stopping_patience=10,
+    )
+    trainer = RadZeroTrainer(CFG, args, train, evalset)
+    state = trainer.train()
+    kept = list_checkpoints(str(tmp_path))
+    # at most the limit + the best checkpoint survive pruning
+    assert 1 <= len(kept) <= 2
+    assert state.best_checkpoint in kept
