@@ -157,10 +157,28 @@ def merge_chestxdet10(similarities: np.ndarray, label_file_path: str) -> Dict[st
     return {"Total AUC": total_auc, "Micro AUPRC": micro_prc, "Macro AUPRC": macro_prc}
 
 
+def merge_chexpert5x200(similarities: np.ndarray, label_file_path: str) -> Dict[str, float]:
+    """CheXpert-5x200 single-label accuracy (ref inference.py:421-435):
+    softmax over the 5 class prompts, argmax accuracy + per-class accuracy."""
+    from scipy.special import softmax
+    from sklearn.metrics import accuracy_score
+
+    df = pd.read_csv(label_file_path)
+    label = df[CHEXPERT5_CLASSES].values
+    predict = softmax(np.asarray(similarities), axis=1)
+    result = {"Accuracy": float(accuracy_score(label.argmax(1), predict.argmax(1)))}
+    for i, disease in enumerate(CHEXPERT5_CLASSES):
+        result[f"{disease} Accuracy"] = float(
+            accuracy_score(label[:, i], predict[:, i].round())
+        )
+    return result
+
+
 MERGERS = {
     "OpenI": ("OpenI/custom.csv", merge_openi),
     "PadChest": ("PadChest/manual_image.json", merge_padchest),
     "ChestXray14": ("ChestXray14/test_list.txt", merge_chestxray14),
     "Chexpert": ("Chexpert/test_labels.csv", merge_chexpert5),
     "ChestXDet10": ("ChestXDet10/test.json", merge_chestxdet10),
+    "Chexpert_5x200": ("Chexpert_5x200/chexpert_5x200_newpath.csv", merge_chexpert5x200),
 }
