@@ -34,15 +34,32 @@ class ZeroShotScorer:
         batch_size: int = 64,
         dtype=jnp.float32,
         num_threads: int = 8,
+        mesh=None,
     ):
+        """``mesh``: optional device mesh — batches shard over its 'data'
+        axis so eval scales across chips (vs the reference's single-GPU
+        rank-0 eval, run.py:135)."""
         self.cfg = cfg
         self.image_processor = image_processor
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.dtype = dtype
         self.num_threads = num_threads
+        self.mesh = mesh
         self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        if mesh is not None:
+            from radzero_tpu.parallel.mesh import replicated_sharding
+
+            self.params = jax.device_put(self.params, replicated_sharding(mesh))
         self._jitted = {}
+
+    def _put_images(self, imgs):
+        arr = jnp.asarray(imgs, self.dtype)
+        if self.mesh is not None:
+            from radzero_tpu.parallel.mesh import batch_sharding
+
+            arr = jax.device_put(arr, batch_sharding(self.mesh))
+        return arr
 
     # ------------------------------------------------------------------
     def _fn(self, need_scores: bool):
@@ -107,7 +124,7 @@ class ZeroShotScorer:
                     if n < self.batch_size:  # pad to the bucket, slice after
                         pad = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
                         imgs = np.concatenate([imgs, pad], axis=0)
-                    out = fn(self.params, jnp.asarray(imgs, self.dtype), ids, mask)
+                    out = fn(self.params, self._put_images(imgs), ids, mask)
                     logits_parts.append(np.asarray(out[0], np.float32)[:n])
                     if need_scores:
                         score_parts.append(np.asarray(out[1], np.float32)[:n])
@@ -153,7 +170,7 @@ class ZeroShotScorer:
                 ids, mask = self.encode_prompts(chunk_texts)
                 out = fn(
                     self.params,
-                    jnp.asarray(imgs, self.dtype),
+                    self._put_images(imgs),
                     jnp.asarray(ids),
                     jnp.asarray(mask),
                 )

@@ -158,6 +158,10 @@ class RadZeroTrainer:
         meta = load_trainer_state(path)
         self.state.step = meta.get("step", 0)
         self.state.epoch = meta.get("epoch", 0)
+        # restore the data-order position so shuffling continues from the
+        # right epoch (HF resume restores dataloader state similarly)
+        if hasattr(self.train_loader, "epoch"):
+            self.train_loader.epoch = self.state.epoch
         self.state.best_metric = meta.get("best_metric")
         self.state.best_checkpoint = meta.get("best_checkpoint")
         self.state.patience_left = meta.get(

@@ -4,6 +4,7 @@ import numpy as np
 
 from radzero_tpu.data.processing import BlipStyleImageProcessor
 from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
+from radzero_tpu.eval.scorer import ZeroShotScorer
 from radzero_tpu.eval.serving import ServingEngine
 from radzero_tpu.models.configuration import (
     AlignConfig,
@@ -75,3 +76,36 @@ def test_multihost_helpers_single_process():
     np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
     assert process_offset(4) == 0  # single process
     sync()  # no-op single process
+
+
+def test_scorer_with_mesh_matches_single_device():
+    """Sharded eval over an 8-device mesh must match single-device logits."""
+    import jax.numpy as jnp
+    from PIL import Image
+    import tempfile, os
+
+    params = init_radzero(jax.random.PRNGKey(3), CFG)
+    proc = BlipStyleImageProcessor(size=28)
+    tok = WhitespaceHashTokenizer(vocab_size=5003, max_length=10)
+    rng = np.random.default_rng(3)
+
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(8):
+            p = os.path.join(d, f"{i}.png")
+            Image.fromarray(rng.integers(0, 256, (40, 30, 3), dtype=np.uint8)).save(p)
+            paths.append(p)
+
+        def load(p):
+            return Image.open(p)
+
+        prompts = ["There is Edema", "There is Mass"]
+        s1 = ZeroShotScorer(params, CFG, proc, tok, batch_size=8, dtype=jnp.float32)
+        l1, _ = s1.score(paths, load, prompts)
+
+        mesh = create_mesh({"data": 8})
+        s8 = ZeroShotScorer(params, CFG, proc, tok, batch_size=8, dtype=jnp.float32, mesh=mesh)
+        l8, _ = s8.score(paths, load, prompts)
+
+    np.testing.assert_allclose(l8, l1, rtol=1e-4, atol=1e-5)
+
