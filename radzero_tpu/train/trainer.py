@@ -177,6 +177,17 @@ class RadZeroTrainer:
                 for k, v in record.items()
             )
         )
+        # durable metrics stream (the wandb-independent record of every
+        # sub-loss, the trainer fork's telemetry contract)
+        try:
+            import json
+            import os
+
+            os.makedirs(self.args.output_dir, exist_ok=True)
+            with open(os.path.join(self.args.output_dir, "log_history.jsonl"), "a") as f:
+                f.write(json.dumps(record, default=float) + "\n")
+        except OSError:
+            pass
         if self.metrics_callback:
             self.metrics_callback(record)
         if self.args.report_to == "wandb":
