@@ -37,8 +37,10 @@ def _align_transformer():
             }
         return params
 
-    def apply(params, cfg: AlignConfig, tokens, *, remat=False):
-        tokens = vit_encoder(params["layers"], cfg.as_vit(), tokens, remat=remat)
+    def apply(params, cfg: AlignConfig, tokens, *, remat=False, real_len=None):
+        tokens = vit_encoder(
+            params["layers"], cfg.as_vit(), tokens, remat=remat, real_len=real_len
+        )
         if cfg.use_layer_norm:
             tokens = layer_norm(tokens, params["layer_norm"], cfg.layer_norm_eps)
         return tokens
@@ -51,7 +53,7 @@ def _identity():
     def init(key, cfg):
         return {}
 
-    def apply(params, cfg, tokens, *, remat=False):
+    def apply(params, cfg, tokens, *, remat=False, real_len=None):
         return tokens
 
     return init, apply
@@ -62,7 +64,7 @@ def _linear():
     def init(key, cfg: AlignConfig):
         return {"linear": _init_linear(key, cfg.hidden_size, cfg.hidden_size)}
 
-    def apply(params, cfg, tokens, *, remat=False):
+    def apply(params, cfg, tokens, *, remat=False, real_len=None):
         return linear(tokens, params["linear"])
 
     return init, apply
@@ -83,7 +85,7 @@ def _mlp():
             "fc3": _init_linear(ks[3], hdim, d),
         }
 
-    def apply(params, cfg, tokens, *, remat=False):
+    def apply(params, cfg, tokens, *, remat=False, real_len=None):
         x = jax.nn.relu(linear(tokens, params["fc0"]))
         x = jax.nn.relu(linear(x, params["fc1"]))
         x = jax.nn.relu(linear(x, params["fc2"]))

@@ -125,10 +125,19 @@ def forward_vision(
     from radzero_tpu.models.align import build_align_adapter
 
     model_type = getattr(cfg.vision, "model_type", "dinov2")
+    real_len = None
     if model_type == "dinov2":
+        # persistent lane padding: pad once before the 12-layer tower,
+        # keep it through the align adapter, slice once after
+        keep_padded = getattr(cfg.vision, "attn_impl", "xla") == "flash"
         tokens = vit_forward(
-            params["vision_model"], cfg.vision, pixel_values, dtype=dtype, remat=remat
+            params["vision_model"], cfg.vision, pixel_values, dtype=dtype, remat=remat,
+            keep_padded=keep_padded,
         )
+        h, w = pixel_values.shape[1], pixel_values.shape[2]
+        l_real = 1 + (h // cfg.vision.patch_size) * (w // cfg.vision.patch_size)
+        if keep_padded and tokens.shape[1] != l_real:
+            real_len = l_real
     else:
         from radzero_tpu.models.encoders import build_vision_encoder
 
@@ -137,7 +146,11 @@ def forward_vision(
     if stop_tower_gradient:
         tokens = jax.lax.stop_gradient(tokens)
     _, align_apply = build_align_adapter(cfg.align.model_type)
-    tokens = align_apply(params["align_transformer"], cfg.align, tokens, remat=remat)
+    tokens = align_apply(
+        params["align_transformer"], cfg.align, tokens, remat=remat, real_len=real_len
+    )
+    if real_len is not None:
+        tokens = tokens[:, :real_len]
 
     cls_token = tokens[:, 0]
     patch_tokens = tokens[:, 1:]

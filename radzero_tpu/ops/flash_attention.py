@@ -73,13 +73,14 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_real: int, stable: bo
     o_ref[0] = (num / den).astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
     stable: Optional[bool] = None,
+    kv_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """(B, L, H, hd) q/k/v -> (B, L, H, hd); same contract as ops.layers.attention.
 
@@ -87,16 +88,21 @@ def flash_attention(
     max subtraction) and False for bf16 (skips the rowwise-max pass;
     safe while |scores| < ~85 — trained ViT attention logits sit far
     below that, and exp2 overflow would surface as inf/nan immediately).
+
+    ``kv_len``: when the sequence axis is already lane-padded by the
+    caller (persistent-padding towers), the number of REAL tokens; keys
+    beyond it are masked and no internal pad/unpad copies happen.
     """
-    return _forward(q, k, v, scale, stable)
+    return _forward(q, k, v, scale, stable, kv_len)
 
 
-def _forward(q, k, v, scale, stable=None):
+def _forward(q, k, v, scale, stable=None, kv_len=None):
     b, l, h, hd = q.shape
     if scale is None:
         scale = hd**-0.5
     if stable is None:
         stable = q.dtype == jnp.float32
+    l_real = kv_len if kv_len is not None else l
     l_pad = _pad_len(l)
     block_q = _pick_block_q(l_pad)
 
@@ -110,7 +116,7 @@ def _forward(q, k, v, scale, stable=None):
 
     grid = (b * h, l_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=float(scale), l_real=l, stable=stable),
+        functools.partial(_kernel, scale=float(scale), l_real=l_real, stable=stable),
         out_shape=jax.ShapeDtypeStruct((b * h, l_pad, hd), q.dtype),
         grid=grid,
         in_specs=[
@@ -133,22 +139,25 @@ def _forward(q, k, v, scale, stable=None):
     return out
 
 
-def _ref_attention(q, k, v, scale):
+def _ref_attention(q, k, v, scale, kv_len=None):
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if kv_len is not None and kv_len < k.shape[1]:
+        col = jnp.arange(k.shape[1])[None, None, None, :]
+        s = jnp.where(col < kv_len, s, -jnp.inf)
     p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
     return p, jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v)
 
 
-def _fwd(q, k, v, scale, stable):
-    return _forward(q, k, v, scale, stable), (q, k, v)
+def _fwd(q, k, v, scale, stable, kv_len):
+    return _forward(q, k, v, scale, stable, kv_len), (q, k, v)
 
 
-def _bwd(scale, stable, residuals, g):
+def _bwd(scale, stable, kv_len, residuals, g):
     q, k, v = residuals
     if scale is None:
         scale = q.shape[-1] ** -0.5
     # recompute probabilities, then standard softmax-attention gradients
-    p, _ = _ref_attention(q, k, v, scale)          # (b, h, q, k) fp32
+    p, _ = _ref_attention(q, k, v, scale, kv_len)  # (b, h, q, k) fp32
     g32 = g.astype(jnp.float32)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
     dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
