@@ -132,6 +132,8 @@ def clip_vit_forward(
     grid = (hh // cfg.patch_size, ww // cfg.patch_size)
     x = patchify(pixel_values.astype(dtype), cfg.patch_size)
     x = jnp.dot(x, params["patch_embed"]["kernel"].astype(dtype))
+    if "bias" in params["patch_embed"]:  # timm ViTs carry a patch bias
+        x = x + params["patch_embed"]["bias"].astype(dtype)
     if cfg.use_class_token:
         cls = jnp.broadcast_to(
             params["class_embedding"].astype(dtype)[None, None], (b, 1, cfg.hidden_size)
@@ -207,3 +209,63 @@ def convert_clip_vision(sd: dict, num_layers: int, prefix: str = "vision_model."
     if f"{p}post_layernorm.weight" in sd:
         params["post_ln"] = ln(f"{p}post_layernorm")
     return params
+
+
+def convert_timm_vit(sd: dict, num_layers: int, prefix: str = "") -> dict:
+    """timm VisionTransformer state dict -> params pytree.
+
+    The layout BioMedCLIP's open_clip tower uses
+    (ref vision_encoders.py biomedclip wrapper): patch conv WITH bias,
+    no pre-layernorm, fused blocks.{i}.attn.qkv, trailing 'norm'.
+    Pair with ClipViTConfig(hidden_act='gelu', final_layernorm=True).
+    """
+    import numpy as np
+
+    p = prefix
+
+    def lin(name):
+        return {"kernel": sd[f"{name}.weight"].T.copy(), "bias": sd[f"{name}.bias"].copy()}
+
+    def ln(name):
+        return {"scale": sd[f"{name}.weight"].copy(), "bias": sd[f"{name}.bias"].copy()}
+
+    w = sd[f"{p}patch_embed.proj.weight"]  # (D, C, P, P)
+    d = w.shape[0]
+
+    layers = []
+    for i in range(num_layers):
+        q = f"{p}blocks.{i}"
+        qkv_w = sd[f"{q}.attn.qkv.weight"]  # (3D, D)
+        qkv_b = sd[f"{q}.attn.qkv.bias"]
+        wq, wk, wv = np.split(qkv_w, 3, axis=0)
+        bq, bk, bv = np.split(qkv_b, 3, axis=0)
+        layers.append(
+            {
+                "ln1": ln(f"{q}.norm1"),
+                "attn": {
+                    "q": {"kernel": wq.T.copy(), "bias": bq.copy()},
+                    "k": {"kernel": wk.T.copy(), "bias": bk.copy()},
+                    "v": {"kernel": wv.T.copy(), "bias": bv.copy()},
+                    "o": lin(f"{q}.attn.proj"),
+                },
+                "ln2": ln(f"{q}.norm2"),
+                "mlp": {"fc1": lin(f"{q}.mlp.fc1"), "fc2": lin(f"{q}.mlp.fc2")},
+            }
+        )
+
+    def stack(ds):
+        out = {}
+        for k, v in ds[0].items():
+            out[k] = stack([x[k] for x in ds]) if isinstance(v, dict) else np.stack([x[k] for x in ds])
+        return out
+
+    return {
+        "patch_embed": {
+            "kernel": w.transpose(2, 3, 1, 0).reshape(-1, d).copy(),
+            "bias": sd[f"{p}patch_embed.proj.bias"].copy(),
+        },
+        "class_embedding": sd[f"{p}cls_token"].reshape(-1).copy(),
+        "pos_embed": sd[f"{p}pos_embed"].copy(),
+        "layers": stack(layers),
+        "post_ln": ln(f"{p}norm"),
+    }
