@@ -203,3 +203,95 @@ void minmax_u8(const uint8_t* src, int n, uint8_t* dst) {
   }
 }
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg) + fully fused decode->resize->normalise hot path
+// ---------------------------------------------------------------------------
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+bool decode_rgb(const uint8_t* data, int len, std::vector<uint8_t>& pixels,
+                int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *h = cinfo.output_height;
+  *w = cinfo.output_width;
+  pixels.resize(static_cast<size_t>(*h) * *w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = pixels.data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe dimensions only. Returns 0 on success.
+int jpeg_dims(const uint8_t* data, int len, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  *h = cinfo.image_height;
+  *w = cinfo.image_width;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode to RGB u8 HWC into caller buffer of capacity cap bytes. 0 = ok.
+int decode_jpeg_rgb(const uint8_t* data, int len, uint8_t* out, long cap,
+                    int* h, int* w) {
+  std::vector<uint8_t> px;
+  if (!decode_rgb(data, len, px, h, w)) return 1;
+  if (static_cast<long>(px.size()) > cap) return 2;
+  std::memcpy(out, px.data(), px.size());
+  return 0;
+}
+
+// The full data-loader hot path in one call:
+// JPEG bytes -> RGB -> resize (oh, ow) -> rescale+normalise f32 HWC. 0 = ok.
+int decode_resize_normalize_jpeg(const uint8_t* data, int len, float* dst,
+                                 int oh, int ow, const float* mean,
+                                 const float* std_, int bicubic) {
+  std::vector<uint8_t> px;
+  int h = 0, w = 0;
+  if (!decode_rgb(data, len, px, &h, &w)) return 1;
+  resize_normalize_u8(px.data(), h, w, 3, dst, oh, ow, mean, std_, bicubic);
+  return 0;
+}
+}  // extern "C"

@@ -45,6 +45,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.normalize_u8_to_f32.argtypes = [u8p, ci, ci, ci, f32p, f32p, f32p]
         lib.resize_normalize_u8.argtypes = [u8p, ci, ci, ci, f32p, ci, ci, f32p, f32p, ci]
         lib.minmax_u8.argtypes = [u8p, ci, u8p]
+        cip = ctypes.POINTER(ctypes.c_int)
+        lib.jpeg_dims.argtypes = [u8p, ci, cip, cip]
+        lib.jpeg_dims.restype = ci
+        lib.decode_jpeg_rgb.argtypes = [u8p, ci, u8p, ctypes.c_long, cip, cip]
+        lib.decode_jpeg_rgb.restype = ci
+        lib.decode_resize_normalize_jpeg.argtypes = [u8p, ci, f32p, ci, ci, f32p, f32p, ci]
+        lib.decode_resize_normalize_jpeg.restype = ci
         _lib = lib
     except OSError:
         _lib = None
@@ -114,3 +121,58 @@ def minmax_normalize(img: np.ndarray) -> np.ndarray:
     out = np.empty_like(img)
     lib.minmax_u8(_u8p(img), img.size, _u8p(out))
     return out
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes -> RGB u8 (H, W, 3) via libjpeg."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.jpeg_dims(_u8p(buf), len(data), ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError("invalid JPEG")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.decode_jpeg_rgb(
+        _u8p(buf), len(data), _u8p(out), out.nbytes, ctypes.byref(h), ctypes.byref(w)
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out
+
+
+def decode_resize_normalize(
+    data: bytes,
+    oh: int,
+    ow: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    mode: str = "bicubic",
+) -> np.ndarray:
+    """The whole data-loader hot path in one native call:
+    JPEG bytes -> RGB -> resize -> rescale+normalise f32 (oh, ow, 3)."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((oh, ow, 3), np.float32)
+    m = np.asarray(mean, np.float32)
+    s = np.asarray(std, np.float32)
+    rc = lib.decode_resize_normalize_jpeg(
+        _u8p(buf), len(data), _f32p(out), oh, ow, _f32p(m), _f32p(s),
+        1 if mode == "bicubic" else 0,
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out
+
+
+def native_jpeg_loader(size: int, mean: Sequence[float], std: Sequence[float]):
+    """image_loader factory for TrainLoader: record['image'] (a .jpg path)
+    -> processed (size, size, 3) f32, entirely in native code."""
+
+    def load(record: dict) -> np.ndarray:
+        with open(record["image"], "rb") as f:
+            return decode_resize_normalize(f.read(), size, size, mean, std)
+
+    return load

@@ -64,3 +64,49 @@ def test_minmax_matches_cv2():
     out = native.minmax_normalize(img)
     ref = cv2.normalize(img, None, 0, 255, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_8U)
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_jpeg_decode_matches_pil():
+    import io
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (60, 50, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    data = buf.getvalue()
+
+    ours = native.decode_jpeg(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert ours.shape == ref.shape
+    # decoders may differ by small IDCT rounding
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_fused_jpeg_pipeline_matches_stages():
+    import io
+    from PIL import Image
+
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 256, (90, 70, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    data = buf.getvalue()
+
+    mean, std = (0.48, 0.45, 0.41), (0.27, 0.26, 0.28)
+    fused = native.decode_resize_normalize(data, 56, 56, mean, std)
+    staged = native.normalize(
+        native.resize_u8(native.decode_jpeg(data), 56, 56, "bicubic"), mean, std
+    )
+    np.testing.assert_allclose(fused, staged, rtol=1e-5, atol=1e-5)
+
+
+def test_native_jpeg_loader(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(rng.integers(0, 256, (80, 60, 3), dtype=np.uint8)).save(p, quality=95)
+    loader = native.native_jpeg_loader(28, (0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+    out = loader({"image": str(p)})
+    assert out.shape == (28, 28, 3) and out.dtype == np.float32
