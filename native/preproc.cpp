@@ -224,7 +224,7 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 }
 
 bool decode_rgb(const uint8_t* data, int len, std::vector<uint8_t>& pixels,
-                int* h, int* w) {
+                int* h, int* w, int min_h = 0, int min_w = 0) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -237,6 +237,19 @@ bool decode_rgb(const uint8_t* data, int len, std::vector<uint8_t>& pixels,
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  // scaled decoding: pick the largest 1/d (d in {1,2,4,8}) whose output
+  // still covers the resize target - cuts IDCT cost up to ~8x
+  if (min_h > 0 && min_w > 0) {
+    int denom = 1;
+    for (int d = 2; d <= 8; d *= 2) {
+      if (static_cast<int>(cinfo.image_height) / d >= min_h &&
+          static_cast<int>(cinfo.image_width) / d >= min_w) {
+        denom = d;
+      }
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
   jpeg_start_decompress(&cinfo);
   *h = cinfo.output_height;
   *w = cinfo.output_width;
@@ -287,10 +300,12 @@ int decode_jpeg_rgb(const uint8_t* data, int len, uint8_t* out, long cap,
 // JPEG bytes -> RGB -> resize (oh, ow) -> rescale+normalise f32 HWC. 0 = ok.
 int decode_resize_normalize_jpeg(const uint8_t* data, int len, float* dst,
                                  int oh, int ow, const float* mean,
-                                 const float* std_, int bicubic) {
+                                 const float* std_, int bicubic,
+                                 int fast_scale) {
   std::vector<uint8_t> px;
   int h = 0, w = 0;
-  if (!decode_rgb(data, len, px, &h, &w)) return 1;
+  if (!decode_rgb(data, len, px, &h, &w, fast_scale ? oh : 0,
+                  fast_scale ? ow : 0)) return 1;
   resize_normalize_u8(px.data(), h, w, 3, dst, oh, ow, mean, std_, bicubic);
   return 0;
 }

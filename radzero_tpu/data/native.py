@@ -50,7 +50,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.jpeg_dims.restype = ci
         lib.decode_jpeg_rgb.argtypes = [u8p, ci, u8p, ctypes.c_long, cip, cip]
         lib.decode_jpeg_rgb.restype = ci
-        lib.decode_resize_normalize_jpeg.argtypes = [u8p, ci, f32p, ci, ci, f32p, f32p, ci]
+        lib.decode_resize_normalize_jpeg.argtypes = [u8p, ci, f32p, ci, ci, f32p, f32p, ci, ci]
         lib.decode_resize_normalize_jpeg.restype = ci
         _lib = lib
     except OSError:
@@ -149,9 +149,15 @@ def decode_resize_normalize(
     mean: Sequence[float],
     std: Sequence[float],
     mode: str = "bicubic",
+    fast_scale: bool = False,
 ) -> np.ndarray:
     """The whole data-loader hot path in one native call:
-    JPEG bytes -> RGB -> resize -> rescale+normalise f32 (oh, ow, 3)."""
+    JPEG bytes -> RGB -> resize -> rescale+normalise f32 (oh, ow, 3).
+
+    ``fast_scale`` enables libjpeg DCT-domain scaled decoding (1/2..1/8)
+    when the source is much larger than the target — ~15-40% faster but
+    with a box-filtered downscale, so it is a TRAINING-only option
+    (eval keeps the full decode for parity)."""
     lib = _load()
     assert lib is not None
     buf = np.frombuffer(data, np.uint8)
@@ -160,19 +166,23 @@ def decode_resize_normalize(
     s = np.asarray(std, np.float32)
     rc = lib.decode_resize_normalize_jpeg(
         _u8p(buf), len(data), _f32p(out), oh, ow, _f32p(m), _f32p(s),
-        1 if mode == "bicubic" else 0,
+        1 if mode == "bicubic" else 0, 1 if fast_scale else 0,
     )
     if rc != 0:
         raise ValueError(f"JPEG decode failed (rc={rc})")
     return out
 
 
-def native_jpeg_loader(size: int, mean: Sequence[float], std: Sequence[float]):
+def native_jpeg_loader(
+    size: int, mean: Sequence[float], std: Sequence[float], fast_scale: bool = True
+):
     """image_loader factory for TrainLoader: record['image'] (a .jpg path)
-    -> processed (size, size, 3) f32, entirely in native code."""
+    -> processed (size, size, 3) f32, entirely in native code.
+    fast_scale defaults on (training tolerates the scaled decode)."""
 
     def load(record: dict) -> np.ndarray:
         with open(record["image"], "rb") as f:
-            return decode_resize_normalize(f.read(), size, size, mean, std)
+            return decode_resize_normalize(f.read(), size, size, mean, std,
+                                           fast_scale=fast_scale)
 
     return load
