@@ -181,7 +181,10 @@ def main() -> None:
             batch_size=cfg["inference"]["batch_size"],
         )
         save_dir = os.path.join(output_dir, "inference")
-        inference.classification(scorer, os.path.join(save_dir, "classification"))
+        inference.classification(
+            scorer, os.path.join(save_dir, "classification"),
+            compute_metric=cfg["args"].get("compute_metric", True),
+        )
         inference.grounding(scorer, os.path.join(save_dir, "grounding"))
         inference.segmentation(
             scorer,

@@ -57,9 +57,12 @@ def eval_classification(
     text_paths: List[str],
     data_root_dir: str,
     save_root_dir: str,
+    compute_metric: bool = True,
 ) -> Dict[str, Dict[str, float]]:
     """Run the classification suite (ref eval_classification,
-    inference/utils.py:181-220 + cal_performance :223-318)."""
+    inference/utils.py:181-220 + cal_performance :223-318).
+    ``compute_metric=False`` dumps raw similarity CSVs only (the
+    reference's --compute_metric flag, run.py:49)."""
     performances: Dict[str, Dict[str, float]] = {}
     for image_path, text_path, name in zip(image_paths, text_paths, sel_datasets):
         df = pd.read_csv(image_path)
@@ -73,7 +76,7 @@ def eval_classification(
             os.path.join(save_root_dir, name) + ".csv", index=False
         )
 
-        if name in MERGERS:
+        if compute_metric and name in MERGERS:
             label_rel, merger = MERGERS[name]
             label_path = os.path.join(data_root_dir, label_rel)
             perf = merger(similarities, label_path)

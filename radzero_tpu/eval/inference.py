@@ -44,7 +44,9 @@ class Inference:
         self.num_workers = num_workers
 
     # ------------------------------------------------------------------
-    def classification(self, scorer: ZeroShotScorer, save_root_dir: str) -> Optional[dict]:
+    def classification(
+        self, scorer: ZeroShotScorer, save_root_dir: str, compute_metric: bool = True
+    ) -> Optional[dict]:
         try:
             os.makedirs(save_root_dir, exist_ok=True)
             dirs = get_infer_dirs(self.data_root_dir)
@@ -52,7 +54,7 @@ class Inference:
             text_paths = [dirs[d]["text_path"] for d in self.cls_dataset]
             performances = eval_classification(
                 scorer, self.cls_dataset, image_paths, text_paths,
-                self.data_root_dir, save_root_dir,
+                self.data_root_dir, save_root_dir, compute_metric=compute_metric,
             )
             save_json(performances, os.path.join(save_root_dir, "result.json"))
             return performances
