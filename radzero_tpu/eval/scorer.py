@@ -115,6 +115,17 @@ class ZeroShotScorer:
         )
         with ctx:
             with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                # software pipeline: dispatch chunk i, then prepare chunk
+                # i+1 on host threads while the device runs — results are
+                # fetched one step behind (device/host overlap)
+                pending = None  # (device outputs, n)
+
+                def flush(p):
+                    out, n = p
+                    logits_parts.append(np.asarray(out[0], np.float32)[:n])
+                    if need_scores:
+                        score_parts.append(np.asarray(out[1], np.float32)[:n])
+
                 for start in range(0, len(items), self.batch_size):
                     chunk = items[start : start + self.batch_size]
                     imgs = np.stack(
@@ -125,9 +136,11 @@ class ZeroShotScorer:
                         pad = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
                         imgs = np.concatenate([imgs, pad], axis=0)
                     out = fn(self.params, self._put_images(imgs), ids, mask)
-                    logits_parts.append(np.asarray(out[0], np.float32)[:n])
-                    if need_scores:
-                        score_parts.append(np.asarray(out[1], np.float32)[:n])
+                    if pending is not None:
+                        flush(pending)
+                    pending = (out, n)
+                if pending is not None:
+                    flush(pending)
 
         logits = np.concatenate(logits_parts, axis=0)
         scores = np.concatenate(score_parts, axis=0) if need_scores else None
