@@ -102,6 +102,49 @@ def pixel_auroc(all_probs: np.ndarray, all_masks: np.ndarray) -> float:
     return float(roc_auc_score(all_masks.ravel().astype(np.int64), all_probs.ravel()))
 
 
+def eval_precision(results: np.ndarray, gt_labels: np.ndarray):
+    """Per-class precision of sign predictions + mAP (ref utils.py:103-111)."""
+    y_pred = np.asarray(results) > 0
+    tp = gt_labels * y_pred
+    fp = (1 - gt_labels) * y_pred
+    under = np.sum(tp + fp, axis=0)
+    under = np.where(under == 0, 1, under)
+    precision = np.sum(tp, axis=0) / under
+    return float(np.mean(precision)), precision
+
+
+def eval_recall(results: np.ndarray, gt_labels: np.ndarray):
+    """Per-class recall + mAR (ref utils.py:114-120)."""
+    y_pred = np.asarray(results) > 0
+    tp = gt_labels * y_pred
+    fn = gt_labels * (1 - y_pred)
+    recall = np.sum(tp, axis=0) / np.sum(tp + fn, axis=0)
+    return float(np.mean(recall)), recall
+
+
+def eval_bacc(y_pred: np.ndarray, gt_labels: np.ndarray):
+    """Balanced accuracy (tpr+tnr)/2 per class + mean (ref utils.py:125-135)."""
+    tp = gt_labels * y_pred
+    tn = (1 - gt_labels) * (1 - y_pred)
+    fp = (1 - gt_labels) * y_pred
+    fn = gt_labels * (1 - y_pred)
+    tpr = np.sum(tp, axis=0) / np.sum(tp + fn, axis=0)
+    tnr = np.sum(tn, axis=0) / np.sum(fp + tn, axis=0)
+    per_class = (tpr + tnr) / 2
+    return float(np.mean(per_class)), per_class
+
+
+def eval_sensitivity_specificity(y_pred: np.ndarray, gt_labels: np.ndarray):
+    """Mean sensitivity and specificity over classes (ref utils.py:138-148)."""
+    tp = gt_labels * y_pred
+    tn = (1 - gt_labels) * (1 - y_pred)
+    fp = (1 - gt_labels) * y_pred
+    fn = gt_labels * (1 - y_pred)
+    sen = float(np.mean(np.sum(tp, axis=0) / np.sum(tp + fn, axis=0)))
+    spe = float(np.mean(np.sum(tn, axis=0) / np.sum(fp + tn, axis=0)))
+    return sen, spe
+
+
 def rle2mask(rle: str, height: int, width: int) -> np.ndarray:
     """SIIM relative-start RLE -> (height, width) binary mask.
 

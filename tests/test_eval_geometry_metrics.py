@@ -123,3 +123,26 @@ def test_long_tail_split():
     assert list(head2) == [0, 1]
     assert list(medium2) == [2]
     assert list(tail2) == [3]
+
+
+def test_precision_recall_bacc_prims():
+    from radzero_tpu.eval.metrics import (
+        eval_bacc,
+        eval_precision,
+        eval_recall,
+        eval_sensitivity_specificity,
+    )
+
+    gt = np.array([[1, 0], [1, 1], [0, 0], [0, 1]])
+    scores = np.array([[0.9, -0.2], [0.8, 0.7], [-0.5, -0.1], [0.2, 0.3]])
+    # predictions by sign: col0 -> [1,1,0,1], col1 -> [0,1,0,1]
+    mAP, prec = eval_precision(scores, gt)
+    np.testing.assert_allclose(prec, [2 / 3, 1.0])
+    mAR, rec = eval_recall(scores, gt)
+    np.testing.assert_allclose(rec, [1.0, 1.0])
+    y_pred = (scores > 0).astype(int)
+    acc, per = eval_bacc(y_pred, gt)
+    # col0: tpr=1, tnr=0.5 -> .75; col1: tpr=1, tnr=1 -> 1
+    np.testing.assert_allclose(per, [0.75, 1.0])
+    sen, spe = eval_sensitivity_specificity(y_pred, gt)
+    assert sen == 1.0 and spe == 0.75
