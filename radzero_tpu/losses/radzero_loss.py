@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from radzero_tpu.models.configuration import LossConfig
-from radzero_tpu.ops.layers import l2_normalize, layer_norm
+from radzero_tpu.ops.layers import layer_norm
 from radzero_tpu.ops.vlcabs import vlcabs_similarity
 from radzero_tpu.losses.mpnce import multi_positive_nce_loss
 

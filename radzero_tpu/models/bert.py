@@ -14,7 +14,7 @@ token-type embeddings with LayerNorm(eps 1e-12); post-LN encoder blocks
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ Stacked (scanned) layers carry a leading layer dim -> specs shift right.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

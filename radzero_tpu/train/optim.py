@@ -14,9 +14,8 @@ entirely — cheaper than masked zero-updates.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
-import jax
 import optax
 
 _LN_KEYS = {"ln", "ln1", "ln2", "ln_attn", "ln_out", "layer_norm", "final_ln"}
