@@ -128,18 +128,31 @@ class ServingEngine:
         return batch
 
     def _run(self) -> None:
+        # software pipeline: dispatch batch i, then assemble batch i+1 on
+        # host threads while the device runs; resolve i's futures when
+        # i+1 dispatches (or on idle)
+        pending = None  # (batch, device outputs)
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
+                if pending is not None:
+                    self._resolve(*pending)
+                    pending = None
                 continue
             try:
-                self._process(batch)
+                dispatched = self._dispatch(batch)
             except Exception as e:  # pragma: no cover - fault containment
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+                continue
+            if pending is not None:
+                self._resolve(*pending)
+            pending = (batch, dispatched)
+        if pending is not None:  # drain on shutdown
+            self._resolve(*pending)
 
-    def _process(self, batch: List[_Request]) -> None:
+    def _dispatch(self, batch: List[_Request]):
         imgs = np.stack(
             list(
                 self._pool.map(
@@ -154,17 +167,26 @@ class ServingEngine:
             )
         ids, mask = self._prompt_sets[batch[0].prompt_set]
         logits, scores = self._jitted(self.params, jnp.asarray(imgs, self.dtype), ids, mask)
-        logits = np.asarray(logits, np.float32)[:n]
-        scores = np.asarray(scores, np.float32)[:n]
+        return logits, scores, n
 
-        geometry = self.image_processor.geometry
-        for i, req in enumerate(batch):
-            probs = 1.0 / (1.0 + np.exp(-logits[i]))
-            maps = None
-            if req.want_maps:
-                maps = upsample_similarity_map(scores[i], req.origin_hw, geometry)
-                maps = 1.0 / (1.0 + np.exp(-maps))
-            req.future.set_result({"probs": probs, "similarity_maps": maps})
+    def _resolve(self, batch: List[_Request], dispatched) -> None:
+        try:
+            logits, scores, n = dispatched
+            logits = np.asarray(logits, np.float32)[:n]
+            scores = np.asarray(scores, np.float32)[:n]
+
+            geometry = self.image_processor.geometry
+            for i, req in enumerate(batch):
+                probs = 1.0 / (1.0 + np.exp(-logits[i]))
+                maps = None
+                if req.want_maps:
+                    maps = upsample_similarity_map(scores[i], req.origin_hw, geometry)
+                    maps = 1.0 / (1.0 + np.exp(-maps))
+                req.future.set_result({"probs": probs, "similarity_maps": maps})
+        except Exception as e:  # pragma: no cover - fault containment
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
 
     # ------------------------------------------------------------------
     def close(self) -> None:
