@@ -39,7 +39,7 @@ class _Request:
     image: np.ndarray           # raw decoded HWC uint8 (or float)
     origin_hw: Tuple[int, int]
     prompt_set: str
-    want_maps: bool
+    want_maps: str              # "none" | "patch" | "full"
     future: cf.Future
 
 
@@ -92,10 +92,19 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def submit(
-        self, image: np.ndarray, prompt_set: str, want_maps: bool = False
+        self, image: np.ndarray, prompt_set: str, want_maps=False
     ) -> cf.Future:
+        """``want_maps``: False/"none" (probs only), True/"patch"
+        (sigmoid maps at patch resolution — cheap, the client can
+        upsample), or "full" (maps projected to the original image
+        resolution — large responses; prefer "patch" at high request
+        rates)."""
         if prompt_set not in self._prompt_sets:
             raise KeyError(f"unknown prompt set {prompt_set!r}")
+        if want_maps is True:
+            want_maps = "patch"
+        elif want_maps is False or want_maps is None:
+            want_maps = "none"
         fut: cf.Future = cf.Future()
         self._queue.put(
             _Request(image, tuple(image.shape[:2]), prompt_set, want_maps, fut)
@@ -179,7 +188,10 @@ class ServingEngine:
             for i, req in enumerate(batch):
                 probs = 1.0 / (1.0 + np.exp(-logits[i]))
                 maps = None
-                if req.want_maps:
+                if req.want_maps == "patch":
+                    g = int(round(scores.shape[-1] ** 0.5))
+                    maps = 1.0 / (1.0 + np.exp(-scores[i].reshape(-1, g, g)))
+                elif req.want_maps == "full":
                     maps = upsample_similarity_map(scores[i], req.origin_hw, geometry)
                     maps = 1.0 / (1.0 + np.exp(-maps))
                 req.future.set_result({"probs": probs, "similarity_maps": maps})

@@ -59,11 +59,18 @@ def test_serving_engine_microbatching():
         ]
         results = [f.result(timeout=120) for f in futs]
 
+        # full-resolution variant projects back to origin size
+        full = engine.submit(
+            rng.integers(0, 256, (40, 30, 3), dtype=np.uint8), "cls", want_maps="full"
+        ).result(timeout=120)
+        assert full["similarity_maps"].shape == (2, 40, 30)
+
     for i, r in enumerate(results):
         assert r["probs"].shape == (2,)
         assert np.all((r["probs"] >= 0) & (r["probs"] <= 1))
         if i % 2 == 0:
-            assert r["similarity_maps"].shape == (2, 40, 30)
+            # default maps response: patch resolution (28/14 = 2x2 grid)
+            assert r["similarity_maps"].shape == (2, 2, 2)
         else:
             assert r["similarity_maps"] is None
 
