@@ -191,3 +191,28 @@ def test_image_features_shape_and_norm():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(v["image_features"]), axis=-1), np.ones(2), rtol=1e-5
     )
+
+
+def test_bf16_serving_path_close_to_fp32():
+    """Quantify the bf16 production path against the fp32 parity path."""
+    import jax
+    import jax.numpy as jnp
+
+    params = init_radzero(jax.random.PRNGKey(9), CFG)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+    ids = rng.integers(3, 211, (3, 10)).astype(np.int32)
+    mask = np.ones((3, 10), np.int32)
+
+    out32 = compute_logits(params, CFG, x, ids, mask, dtype=jnp.float32)
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    out16 = compute_logits(p16, CFG, jnp.asarray(x, jnp.bfloat16), ids, mask, dtype=jnp.bfloat16)
+
+    dl = np.abs(np.asarray(out16["logits"], np.float32) - np.asarray(out32["logits"]))
+    dm = np.abs(
+        np.asarray(out16["similarity_scores"], np.float32)
+        - np.asarray(out32["similarity_scores"])
+    )
+    # cosine logits live in [-1/tau, 1/tau]; bf16 keeps them within ~1e-1
+    assert dl.max() < 0.2, dl.max()
+    assert dm.mean() < 0.2, dm.mean()
