@@ -22,15 +22,17 @@ pjit global-view model:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import TYPE_CHECKING, Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from radzero_tpu.models.configuration import LossConfig
 from radzero_tpu.ops.layers import layer_norm
 from radzero_tpu.ops.vlcabs import vlcabs_similarity
 from radzero_tpu.losses.mpnce import multi_positive_nce_loss
+
+if TYPE_CHECKING:  # annotation-only; a runtime import would cycle through models/__init__
+    from radzero_tpu.models.configuration import LossConfig
 
 _SHARED_LN_EPS = 1e-5  # torch nn.LayerNorm default (losses.py:51)
 

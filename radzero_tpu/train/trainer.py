@@ -147,7 +147,11 @@ class RadZeroTrainer:
     def maybe_resume(self, resume_from_checkpoint=None) -> None:
         """Restore params/opt-state/counters (HF resume semantics)."""
         path = resume_from_checkpoint
-        if path is True or path is None:
+        if path is None or path is False:
+            # HF Trainer semantics (ref common/trainer.py:561-570): a plain
+            # train() never auto-resumes; only an explicit truthy flag does.
+            return
+        if path is True:
             path = get_last_checkpoint(self.args.output_dir)
         if not path:
             return

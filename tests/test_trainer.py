@@ -101,6 +101,26 @@ def test_trainer_resume(tmp_path):
     assert state.epoch == 2
 
 
+def test_fresh_train_does_not_auto_resume(tmp_path):
+    """HF semantics (ref common/trainer.py:561-570): train() with no resume
+    flag must start from step 0 even when output_dir holds checkpoints."""
+    train, evalset = _loaders()
+    args = TrainerArgs(
+        output_dir=str(tmp_path), num_train_epochs=1, warmup_steps=1,
+        logging_steps=100, bf16=False,
+    )
+    t1 = RadZeroTrainer(CFG, args, train, evalset)
+    t1.train()
+    assert get_last_checkpoint(str(tmp_path)) is not None
+
+    t2 = RadZeroTrainer(CFG, args, train, evalset)
+    t2.maybe_resume(None)
+    assert t2.state.step == 0
+    assert t2.state.epoch == 0
+    state = t2.train()  # fresh run into the dirty dir
+    assert state.epoch == 1  # ran epoch 1 again, not skipped
+
+
 def test_early_stopping(tmp_path):
     train, evalset = _loaders()
     args = TrainerArgs(
