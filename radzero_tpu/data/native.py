@@ -23,39 +23,57 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR], capture_output=True, timeout=120, check=True
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR], capture_output=True, timeout=120, check=True
-            )
-        except Exception:
-            return None
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        ci = ctypes.c_int
-        lib.resize_bicubic_u8.argtypes = [u8p, ci, ci, ci, u8p, ci, ci]
-        lib.resize_bilinear_u8.argtypes = [u8p, ci, ci, ci, u8p, ci, ci]
-        lib.normalize_u8_to_f32.argtypes = [u8p, ci, ci, ci, f32p, f32p, f32p]
-        lib.resize_normalize_u8.argtypes = [u8p, ci, ci, ci, f32p, ci, ci, f32p, f32p, ci]
-        lib.minmax_u8.argtypes = [u8p, ci, u8p]
-        cip = ctypes.POINTER(ctypes.c_int)
-        lib.jpeg_dims.argtypes = [u8p, ci, cip, cip]
-        lib.jpeg_dims.restype = ci
-        lib.decode_jpeg_rgb.argtypes = [u8p, ci, u8p, ctypes.c_long, cip, cip]
-        lib.decode_jpeg_rgb.restype = ci
-        lib.decode_resize_normalize_jpeg.argtypes = [u8p, ci, f32p, ci, ci, f32p, f32p, ci, ci]
-        lib.decode_resize_normalize_jpeg.restype = ci
-        _lib = lib
-    except OSError:
-        _lib = None
+        lib = _bind(ctypes.CDLL(_LIB_PATH))
+    except (OSError, AttributeError):
+        lib = None
+    if lib is None and _build():
+        # stale .so from an older source revision: rebuild once and retry
+        try:
+            lib = _bind(ctypes.CDLL(_LIB_PATH))
+        except (OSError, AttributeError):
+            lib = None
+    _lib = lib
     return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare signatures; raises AttributeError on a stale .so."""
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    ci = ctypes.c_int
+    lib.resize_bicubic_u8.argtypes = [u8p, ci, ci, ci, u8p, ci, ci]
+    lib.resize_bilinear_u8.argtypes = [u8p, ci, ci, ci, u8p, ci, ci]
+    lib.normalize_u8_to_f32.argtypes = [u8p, ci, ci, ci, f32p, f32p, f32p]
+    lib.resize_normalize_u8.argtypes = [u8p, ci, ci, ci, f32p, ci, ci, f32p, f32p, ci]
+    lib.minmax_u8.argtypes = [u8p, ci, u8p]
+    cip = ctypes.POINTER(ctypes.c_int)
+    lib.jpeg_dims.argtypes = [u8p, ci, cip, cip]
+    lib.jpeg_dims.restype = ci
+    lib.decode_jpeg_rgb.argtypes = [u8p, ci, u8p, ctypes.c_long, cip, cip]
+    lib.decode_jpeg_rgb.restype = ci
+    lib.decode_resize_normalize_jpeg.argtypes = [u8p, ci, f32p, ci, ci, f32p, f32p, ci, ci]
+    lib.decode_resize_normalize_jpeg.restype = ci
+    lib.decode_resize_jpeg_u8.argtypes = [u8p, ci, u8p, ci, ci, ci, ci]
+    lib.decode_resize_jpeg_u8.restype = ci
+    return lib
 
 
 def available() -> bool:
@@ -123,6 +141,19 @@ def minmax_normalize(img: np.ndarray) -> np.ndarray:
     return out
 
 
+def jpeg_dims(data: bytes) -> tuple:
+    """(height, width) from the JPEG header only (no pixel decode)."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.jpeg_dims(_u8p(buf), len(data), ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError("invalid JPEG")
+    return h.value, w.value
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes -> RGB u8 (H, W, 3) via libjpeg."""
     lib = _load()
@@ -166,6 +197,25 @@ def decode_resize_normalize(
     s = np.asarray(std, np.float32)
     rc = lib.decode_resize_normalize_jpeg(
         _u8p(buf), len(data), _f32p(out), oh, ow, _f32p(m), _f32p(s),
+        1 if mode == "bicubic" else 0, 1 if fast_scale else 0,
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out
+
+
+def decode_resize_u8(
+    data: bytes, oh: int, ow: int, mode: str = "bicubic", fast_scale: bool = False
+) -> np.ndarray:
+    """Serving hot path for uint8 upload: JPEG bytes -> RGB -> resize ->
+    (oh, ow, 3) u8. Normalisation happens on device (4x less transfer
+    than the f32 variant)."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((oh, ow, 3), np.uint8)
+    rc = lib.decode_resize_jpeg_u8(
+        _u8p(buf), len(data), _u8p(out), oh, ow,
         1 if mode == "bicubic" else 0, 1 if fast_scale else 0,
     )
     if rc != 0:

@@ -95,6 +95,18 @@ class BlipStyleImageProcessor:
                 out.append(_normalize(np.asarray(im), self.mean, self.std))
         return {"pixel_values": np.stack(out)}
 
+    def resize_u8(self, image: ImageLike) -> np.ndarray:
+        """The host half of the split pipeline: decode+resize to
+        (size, size, 3) u8; rescale+normalise happens ON DEVICE
+        (ops.layers.normalize_pixels). Because the reference pipeline
+        also round-trips through u8 after the PIL resize
+        (BlipImageProcessor: PIL resize -> u8 -> rescale -> normalize),
+        u8-upload + device normalise is bit-identical to __call__ while
+        moving 4x fewer bytes host->device."""
+        im = _to_pil_rgb(image)
+        im = im.resize((self.size, self.size), Image.Resampling.BICUBIC)
+        return np.asarray(im, np.uint8)
+
 
 @dataclass
 class AspectRatioImageProcessor(BlipStyleImageProcessor):

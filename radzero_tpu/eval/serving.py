@@ -11,7 +11,12 @@ the zero-shot path in a request/response loop designed for TPU:
   executable per set);
 - host preprocessing runs on a thread pool; device dispatch is
   single-threaded and async (one in-flight batch while the next one is
-  being assembled — double buffering).
+  being assembled — double buffering);
+- the host->device path uploads RESIZED UINT8 and normalises on device
+  (``device_normalize=True``, 4x fewer bytes than f32 — XLA fuses the
+  rescale into the patch-embed conv); requests may carry raw JPEG bytes,
+  decoded+resized by the native C++ library (libjpeg, fused
+  decode->resize — native/preproc.cpp) when available.
 
 Each submit returns a Future resolving to
 ``{"probs": (N,), "similarity_maps": (N, H, W) | None}``.
@@ -20,10 +25,11 @@ Each submit returns a Future resolving to
 from __future__ import annotations
 
 import concurrent.futures as cf
+import io
 import queue
 import threading
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -32,12 +38,13 @@ import numpy as np
 from radzero_tpu.eval.geometry import upsample_similarity_map
 from radzero_tpu.models.configuration import RadZeroConfig
 from radzero_tpu.models.radzero import compute_logits
+from radzero_tpu.ops.layers import normalize_pixels
 
 
 @dataclass
 class _Request:
-    image: np.ndarray           # raw decoded HWC uint8 (or float)
-    origin_hw: Tuple[int, int]
+    image: Union[np.ndarray, bytes]  # decoded HWC uint8/float, or JPEG bytes
+    origin_hw: Optional[Tuple[int, int]]
     prompt_set: str
     want_maps: str              # "none" | "patch" | "full"
     future: cf.Future
@@ -55,13 +62,35 @@ class ServingEngine:
         max_delay_ms: float = 5.0,
         dtype=jnp.bfloat16,
         preprocess_threads: int = 8,
+        device_normalize: bool = True,
+        host_backend: str = "auto",   # "auto" | "native" | "pil"
     ):
+        """``device_normalize``: split the image pipeline — host does
+        decode+resize to u8 only, device does rescale+normalise (bit-
+        identical for Blip-geometry processors, 4x less transfer).
+        ``host_backend``: "native" decodes/resizes JPEG bytes in C++
+        (torch-bicubic resize semantics — the throughput path); "pil"
+        keeps PIL end to end (reference bit-parity); "auto" uses native
+        when the library is built."""
         self.cfg = cfg
         self.image_processor = image_processor
         self.tokenizer = tokenizer
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1e3
         self.dtype = dtype
+        self.device_normalize = bool(
+            device_normalize
+            and hasattr(image_processor, "resize_u8")
+            and hasattr(image_processor, "mean")
+        )
+        self._native = None
+        if host_backend in ("auto", "native"):
+            from radzero_tpu.data import native
+
+            if native.available():
+                self._native = native
+            elif host_backend == "native":
+                raise RuntimeError("native preprocessing library unavailable")
         self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
         self._prompt_sets: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -73,6 +102,11 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def _fn(self, params, pixel_values, input_ids, attention_mask):
+        if pixel_values.dtype == jnp.uint8:
+            pixel_values = normalize_pixels(
+                pixel_values, self.image_processor.mean, self.image_processor.std,
+                dtype=self.dtype,
+            )
         out = compute_logits(
             params, self.cfg, pixel_values, input_ids, attention_mask, dtype=self.dtype
         )
@@ -85,16 +119,22 @@ class ServingEngine:
     def warmup(self, image_hw: Tuple[int, int] = (512, 512)) -> None:
         """Compile every (prompt set x padded batch) executable up front."""
         dummy = np.zeros((*image_hw, 3), np.uint8)
-        pv = self.image_processor(dummy)["pixel_values"]
-        pv = np.repeat(pv, self.max_batch, axis=0)
+        if self.device_normalize:
+            pv = self.image_processor.resize_u8(dummy)[None]
+            pv = jnp.asarray(np.repeat(pv, self.max_batch, axis=0))
+        else:
+            pv = self.image_processor(dummy)["pixel_values"]
+            pv = jnp.asarray(np.repeat(pv, self.max_batch, axis=0), self.dtype)
         for ids, mask in self._prompt_sets.values():
-            self._jitted(self.params, jnp.asarray(pv, self.dtype), ids, mask)
+            self._jitted(self.params, pv, ids, mask)
 
     # ------------------------------------------------------------------
     def submit(
-        self, image: np.ndarray, prompt_set: str, want_maps=False
+        self, image: Union[np.ndarray, bytes], prompt_set: str, want_maps=False
     ) -> cf.Future:
-        """``want_maps``: False/"none" (probs only), True/"patch"
+        """``image``: decoded HWC array, or raw JPEG bytes (decoded by
+        the native C++ path when built).
+        ``want_maps``: False/"none" (probs only), True/"patch"
         (sigmoid maps at patch resolution — cheap, the client can
         upsample), or "full" (maps projected to the original image
         resolution — large responses; prefer "patch" at high request
@@ -105,10 +145,9 @@ class ServingEngine:
             want_maps = "patch"
         elif want_maps is False or want_maps is None:
             want_maps = "none"
+        origin_hw = None if isinstance(image, (bytes, bytearray)) else tuple(image.shape[:2])
         fut: cf.Future = cf.Future()
-        self._queue.put(
-            _Request(image, tuple(image.shape[:2]), prompt_set, want_maps, fut)
-        )
+        self._queue.put(_Request(image, origin_hw, prompt_set, want_maps, fut))
         return fut
 
     # ------------------------------------------------------------------
@@ -161,21 +200,39 @@ class ServingEngine:
         if pending is not None:  # drain on shutdown
             self._resolve(*pending)
 
+    def _preprocess(self, req: _Request) -> np.ndarray:
+        """Host half of the pipeline for one request: decode + resize.
+        Returns u8 (device_normalize) or normalised f32."""
+        img = req.image
+        if isinstance(img, (bytes, bytearray)):
+            size = getattr(self.image_processor, "size", None)
+            if self._native is not None and size is not None:
+                if req.origin_hw is None and req.want_maps == "full":
+                    req.origin_hw = self._native.jpeg_dims(bytes(img))
+                u8 = self._native.decode_resize_u8(bytes(img), size, size)
+                if self.device_normalize:
+                    return u8
+                return self.image_processor(u8)["pixel_values"][0]
+            from PIL import Image
+
+            pil = Image.open(io.BytesIO(img))
+            if req.origin_hw is None:
+                req.origin_hw = (pil.height, pil.width)
+            img = pil
+        if self.device_normalize:
+            return self.image_processor.resize_u8(img)
+        return self.image_processor(img)["pixel_values"][0]
+
     def _dispatch(self, batch: List[_Request]):
-        imgs = np.stack(
-            list(
-                self._pool.map(
-                    lambda r: self.image_processor(r.image)["pixel_values"][0], batch
-                )
-            )
-        )
+        imgs = np.stack(list(self._pool.map(self._preprocess, batch)))
         n = len(imgs)
         if n < self.max_batch:
             imgs = np.concatenate(
                 [imgs, np.repeat(imgs[-1:], self.max_batch - n, axis=0)], axis=0
             )
         ids, mask = self._prompt_sets[batch[0].prompt_set]
-        logits, scores = self._jitted(self.params, jnp.asarray(imgs, self.dtype), ids, mask)
+        pv = jnp.asarray(imgs) if imgs.dtype == np.uint8 else jnp.asarray(imgs, self.dtype)
+        logits, scores = self._jitted(self.params, pv, ids, mask)
         return logits, scores, n
 
     def _resolve(self, batch: List[_Request], dispatched) -> None:

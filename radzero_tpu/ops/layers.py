@@ -38,6 +38,20 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+def normalize_pixels(x: jnp.ndarray, mean, std, dtype=jnp.float32) -> jnp.ndarray:
+    """On-device rescale(1/255) + per-channel mean/std normalisation for
+    uint8-uploaded images (NHWC). Exactly the host `_normalize`
+    (data/processing.py) arithmetic — the serving/eval fast path uploads
+    resized u8 (4x fewer bytes over PCIe/tunnel) and XLA fuses this into
+    the patch-embed convolution. Float inputs pass through unchanged
+    (already normalised on host)."""
+    if x.dtype != jnp.uint8:
+        return x.astype(dtype)
+    scale = (1.0 / (255.0 * jnp.asarray(std, jnp.float32))).astype(dtype)
+    bias = (-jnp.asarray(mean, jnp.float32) / jnp.asarray(std, jnp.float32)).astype(dtype)
+    return x.astype(dtype) * scale + bias
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     # torch F.normalize: x / max(||x||, eps)
     norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))

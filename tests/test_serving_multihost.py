@@ -75,6 +75,72 @@ def test_serving_engine_microbatching():
             assert r["similarity_maps"] is None
 
 
+def test_serving_device_normalize_matches_host_normalize():
+    """uint8 upload + on-device normalise must be bit-equivalent to the
+    host f32 pipeline (both share the PIL resize -> u8 intermediate)."""
+    params = init_radzero(jax.random.PRNGKey(1), CFG)
+    proc = BlipStyleImageProcessor(size=28)
+    tok = WhitespaceHashTokenizer(vocab_size=5003, max_length=10)
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 256, (40, 30, 3), dtype=np.uint8) for _ in range(3)]
+
+    def run(device_normalize):
+        with ServingEngine(
+            params, CFG, proc, tok, max_batch=4, max_delay_ms=20,
+            dtype=jnp.float32, device_normalize=device_normalize,
+            host_backend="pil",
+        ) as engine:
+            engine.register_prompt_set("cls", ["There is Edema", "There is Mass"])
+            futs = [engine.submit(im, "cls", want_maps=True) for im in imgs]
+            return [f.result(timeout=120) for f in futs]
+
+    on = run(True)
+    off = run(False)
+    for a, b in zip(on, off):
+        np.testing.assert_allclose(a["probs"], b["probs"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            a["similarity_maps"], b["similarity_maps"], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_serving_jpeg_bytes_native_path():
+    """Raw JPEG bytes in -> probs + full-resolution maps out, decoded and
+    resized by the native C++ library."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    from radzero_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native preprocessing library not built")
+
+    params = init_radzero(jax.random.PRNGKey(2), CFG)
+    proc = BlipStyleImageProcessor(size=28)
+    tok = WhitespaceHashTokenizer(vocab_size=5003, max_length=10)
+    rng = np.random.default_rng(2)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)).save(
+        buf, "JPEG", quality=95
+    )
+    jpeg = buf.getvalue()
+
+    with ServingEngine(
+        params, CFG, proc, tok, max_batch=2, max_delay_ms=20,
+        dtype=jnp.float32, host_backend="native",
+    ) as engine:
+        engine.register_prompt_set("cls", ["There is Edema"])
+        r_patch = engine.submit(jpeg, "cls", want_maps=True).result(timeout=120)
+        r_full = engine.submit(jpeg, "cls", want_maps="full").result(timeout=120)
+
+    assert r_patch["probs"].shape == (1,)
+    assert r_patch["similarity_maps"].shape == (1, 2, 2)
+    assert np.all(np.isfinite(r_patch["similarity_maps"]))
+    # origin dims recovered from the JPEG header (64, 48)
+    assert r_full["similarity_maps"].shape == (1, 64, 48)
+
+
 def test_multihost_helpers_single_process():
     mesh = create_mesh({"data": 8})
     batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
