@@ -114,6 +114,8 @@ class LossConfig:
     mpnce_col_sum: bool = False
     sim_op: str = "cos"                       # cos | dot (radzero.yaml:46)
     use_layer_norm: bool = True               # shared modality LN (losses.py:51)
+    train_impl: str = "fused"                 # fused (Pallas custom-VJP kernel,
+                                              # cos only) | xla (jnp autodiff)
 
 
 @dataclass(frozen=True)

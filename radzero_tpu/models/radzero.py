@@ -254,6 +254,11 @@ def forward_train(
                 params, cfg, batch["input_ids"], batch["attention_mask"], dtype=dtype,
                 remat=remat,
             )
+            train_impl = (
+                "fused_train"
+                if (cfg.loss.train_impl == "fused" and cfg.loss.sim_op == "cos")
+                else "xla"
+            )
             out = radzero_loss(
                 lparams,
                 cfg.loss,
@@ -262,6 +267,7 @@ def forward_train(
                 batch["group_map"],
                 batch["row_mask"],
                 vision["vision_tokens"],
+                impl=train_impl,
             )
             losses["t2i_loss"] = out["losses"]["t2i_loss"]
             losses["radzero_loss"] = out["losses"]["loss"]

@@ -45,10 +45,26 @@ def vlcabs_similarity(
     sim_op: str = "cos",
     temperature: Optional[jnp.ndarray] = None,  # scalar tau (required for cos)
     need_scores: bool = False,
-    impl: str = "xla",           # xla (differentiable) | fused (Pallas, fwd-only)
+    impl: str = "xla",           # xla | fused (fwd-only) | fused_train (custom VJP)
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Compute (logits (N, B), scores (B, N, L)) — SimilarityLogit semantics."""
+    """Compute (logits (N, B), scores (B, N, L)) — SimilarityLogit semantics.
+
+    ``impl``:
+        xla          jnp einsum chain — differentiable, any sim_op
+        fused        Pallas forward emitting logits + score map (serving)
+        fused_train  Pallas forward + flash-style recompute backward —
+                     differentiable, never materialises (B, N, L) in HBM
+                     (cos only; scores are not available on this path)
+    """
     compute_dtype = tokens.dtype
+
+    if impl == "fused_train" and sim_op == "cos":
+        if need_scores:
+            raise ValueError("fused_train does not emit score maps")
+        from radzero_tpu.ops.pallas_vlcabs import vlcabs_fused_train
+
+        qn = l2_normalize(queries.astype(compute_dtype))
+        return vlcabs_fused_train(qn, tokens, temperature), None
 
     if impl == "fused" and sim_op == "cos":
         from radzero_tpu.ops.pallas_vlcabs import vlcabs_fused
