@@ -6,8 +6,9 @@ Rebuilds inference/dataset.py:19-51 and segmentation_utils.py:125-133:
 - generic decode + cv2 min-max normalisation to uint8 (the 'PadChest
   fix' every inference collate applies).
 
-pydicom is optional in this environment; DICOM reads raise a clear
-error when it is absent.
+DICOM parsing uses pydicom when installed, else the built-in pure-
+Python reader (data/dicom_parse.py: explicit/implicit VR LE +
+JPEG-baseline encapsulated — the syntaxes the SIIM/RSNA CXR sets use).
 """
 
 from __future__ import annotations
@@ -16,20 +17,26 @@ import numpy as np
 from PIL import Image
 
 
-def read_from_dicom(img_path: str) -> Image.Image:
+def _read_pixels(img_path: str):
+    """-> (pixel_array, photometric_interpretation str)."""
     try:
         import pydicom
-    except ImportError as e:  # pragma: no cover - env without pydicom
-        raise ImportError(
-            "pydicom is required for DICOM inputs; install it or convert to png/jpg"
-        ) from e
 
-    dcm = pydicom.dcmread(img_path)
-    x = dcm.pixel_array
+        dcm = pydicom.dcmread(img_path)
+        return dcm.pixel_array, getattr(dcm, "PhotometricInterpretation", "")
+    except ImportError:
+        from radzero_tpu.data.dicom_parse import dicom_read
+
+        arr, attrs = dicom_read(img_path)
+        return arr, attrs.get("PhotometricInterpretation", "")
+
+
+def read_from_dicom(img_path: str) -> Image.Image:
+    x, photometric = _read_pixels(img_path)
     # cv2.convertScaleAbs(x, alpha=255/max): scale, round, clip to uint8
     alpha = 255.0 / float(x.max()) if x.max() > 0 else 1.0
     x = np.clip(np.round(np.abs(x.astype(np.float64) * alpha)), 0, 255).astype(np.uint8)
-    if getattr(dcm, "PhotometricInterpretation", "") == "MONOCHROME1":
+    if photometric == "MONOCHROME1":
         x = 255 - x  # bitwise_not on uint8
     return Image.fromarray(x).convert("RGB")
 
