@@ -55,7 +55,10 @@ def main() -> None:
     p.add_argument("--save_dir", default="viz_out")
     p.add_argument("--studies", nargs="*",
                    default=["open_vocab"],
-                   choices=["open_vocab", "positional", "pos_neg", "anatomy", "disease"])
+                   choices=["open_vocab", "positional", "pos_neg", "anatomy",
+                            "disease", "disease_map", "open_vocab_seg"])
+    p.add_argument("--top_k_percent", type=float, default=None,
+                   help="open_vocab_seg: keep only the top-k%% of each map")
     p.add_argument("--prompts", nargs="*", default=None)
     p.add_argument("--num_samples", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=16)
@@ -85,6 +88,22 @@ def main() -> None:
                 anatomy_segmentation(scorer, args.image, args.save_dir)
             elif study == "disease":
                 disease_segmentation(scorer, args.image, args.save_dir)
+            elif study == "disease_map":
+                from radzero_tpu.viz.qualitative import process_and_visualize_map
+
+                texts = args.prompts or ["There is Pneumothorax"]
+                process_and_visualize_map(scorer, args.image, texts, args.save_dir)
+            elif study == "open_vocab_seg":
+                from radzero_tpu.viz.qualitative import (
+                    process_and_visualize_segmentation,
+                )
+
+                texts = args.prompts or [
+                    "There is Pneumothorax", "There is Cardiomegaly",
+                ]
+                process_and_visualize_segmentation(
+                    scorer, args.image, texts, args.save_dir, k=args.top_k_percent
+                )
 
     if args.dataset:
         assert args.data_root, "--data_root required with --dataset"

@@ -103,3 +103,78 @@ def test_segmap(scorer, image_path, tmp_path):
     out = str(tmp_path / "seg.png")
     render_segmap(image, seg, ["heart", "left lung"], out)
     assert os.path.exists(out)
+
+
+def test_filter_top_k_percent():
+    from radzero_tpu.viz.qualitative import filter_top_k_percent
+
+    m = np.arange(100, dtype=np.float32).reshape(10, 10) / 100.0
+    out = filter_top_k_percent(m, 10)
+    kept = out > -1.0
+    assert kept.sum() == 10            # top 10% of 100 pixels
+    assert out[kept].min() >= 0.90
+    with pytest.raises(ValueError):
+        filter_top_k_percent(m, 0)
+
+
+def test_visualize_segmap_artifacts(image_path, tmp_path):
+    from radzero_tpu.viz.qualitative import visualize_segmap
+
+    rng = np.random.default_rng(1)
+    prob = rng.random((3, 90, 70)).astype(np.float32)
+    paths = visualize_segmap(
+        image_path, prob, ["left lung", "right lung", "background"],
+        str(tmp_path), overlay_alpha=0.5, colors=["#E377C2", "#66C2A5", "#000000"],
+        bbox=[[5, 5, 30, 40]],
+    )
+    assert len(paths) == 2
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+    assert os.path.basename(paths[0]).startswith("seg_map_")
+    assert os.path.basename(paths[1]).startswith("only_segmap_")
+
+
+def test_visualize_disease_segmap_requires_color_dict(image_path, tmp_path):
+    from radzero_tpu.viz.qualitative import visualize_disease_segmap
+
+    prob = np.random.default_rng(2).random((2, 90, 70)).astype(np.float32)
+    with pytest.raises(ValueError):
+        visualize_disease_segmap(image_path, prob, ["a", "b"], str(tmp_path), colors="tab10")
+    with pytest.raises(NotImplementedError):
+        visualize_disease_segmap(
+            image_path, prob, ["a", "b"], str(tmp_path), colors={"a": "red"}
+        )
+    paths = visualize_disease_segmap(
+        image_path, prob, ["Pneumothorax", "background"], str(tmp_path),
+        colors={"Pneumothorax": "red", "background": "black"},
+    )
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_process_and_visualize_map_driver(scorer, image_path, tmp_path):
+    from radzero_tpu.viz.qualitative import process_and_visualize_map
+
+    paths = process_and_visualize_map(
+        scorer, image_path, ["There is Pneumothorax"], str(tmp_path),
+        bbox=[10, 10, 40, 60], image_key="case1.png",
+    )
+    names = [os.path.basename(p) for p in paths]
+    assert names == [
+        "nobox_There is Pneumothorax_case1.png",
+        "orig_case1.png",
+        "There is Pneumothorax_case1.png",
+    ]
+    for p in paths:
+        assert os.path.getsize(p) > 0
+
+
+def test_process_and_visualize_segmentation_driver(scorer, image_path, tmp_path):
+    from radzero_tpu.viz.qualitative import process_and_visualize_segmentation
+
+    paths = process_and_visualize_segmentation(
+        scorer, image_path, ["There is Pneumothorax", "There is Cardiomegaly"],
+        str(tmp_path), k=20.0,
+    )
+    assert len(paths) == 2
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
