@@ -126,10 +126,16 @@ def extract_key_phrases(
     extractor: KeyPhraseExtractor,
     output_dir: str,
     batch_size: int = 1000,
+    concurrency: int = 1,
 ) -> List[dict]:
     """Run extraction with resumable per-batch files
     (prompt_alignment.py:160-194): batch_{i}.json is skipped when it
     already exists, so interrupted runs continue where they stopped.
+
+    ``concurrency > 1`` runs records of a batch through a thread pool —
+    the throughput mode for HTTP extractors (an OpenAI-compatible vLLM
+    server pipelines concurrent requests the way the reference's
+    in-process 32k-record vLLM batches do); order is preserved.
     """
     os.makedirs(output_dir, exist_ok=True)
     out: List[dict] = []
@@ -140,10 +146,18 @@ def extract_key_phrases(
             out.extend(load_json(batch_path))
             continue
         chunk = records[b * batch_size : (b + 1) * batch_size]
-        done = []
-        for rec in chunk:
+
+        def run(rec: dict) -> dict:
             phrases = extractor(rec.get("findings", ""), rec.get("impression", ""))
-            done.append({**rec, "key_phrases": phrases})
+            return {**rec, "key_phrases": phrases}
+
+        if concurrency > 1:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(concurrency) as pool:
+                done = list(pool.map(run, chunk))
+        else:
+            done = [run(rec) for rec in chunk]
         save_json(done, batch_path)
         out.extend(done)
         logger.info(f"key-phrase batch {b + 1}/{n_batches} done")
