@@ -182,3 +182,35 @@ def test_scorer_with_mesh_matches_single_device():
 
     np.testing.assert_allclose(l8, l1, rtol=1e-4, atol=1e-5)
 
+
+
+def test_scorer_device_normalize_matches_host_path():
+    """ZeroShotScorer uint8 fast path == host fp32 path (shared PIL
+    resize -> u8 intermediate)."""
+    import tempfile, os
+    from PIL import Image
+
+    params = init_radzero(jax.random.PRNGKey(4), CFG)
+    proc = BlipStyleImageProcessor(size=28)
+    tok = WhitespaceHashTokenizer(vocab_size=5003, max_length=10)
+    rng = np.random.default_rng(4)
+
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(3):
+            p = os.path.join(d, f"{i}.png")
+            Image.fromarray(rng.integers(0, 256, (40, 30, 3), dtype=np.uint8)).save(p)
+            paths.append(p)
+
+        def load(p):
+            return Image.open(p)
+
+        prompts = ["There is Edema", "There is Mass"]
+        host = ZeroShotScorer(params, CFG, proc, tok, batch_size=4, dtype=jnp.float32)
+        lh, sh = host.score(paths, load, prompts, need_scores=True)
+        dev = ZeroShotScorer(params, CFG, proc, tok, batch_size=4,
+                             dtype=jnp.float32, device_normalize=True)
+        ld, sd = dev.score(paths, load, prompts, need_scores=True)
+
+    np.testing.assert_allclose(ld, lh, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sd, sh, rtol=1e-5, atol=1e-5)
