@@ -14,11 +14,16 @@ at batch 64); this kernel keeps scores in VMEM:
 - fp32 softmax matches the eager-attention semantics of the towers
   (parity tests run this kernel in interpret mode on CPU).
 
-Differentiable via custom_vjp: the backward recomputes attention with
-the standard flash-attention gradient identities
-(dV = P^T dO, dP = dO V^T, dS = P*(dP - rowsum(dP*P))), expressed in
-jnp — the backward path only matters for the 2-layer align transformer
-during training; the 12 frozen ViT layers never run it.
+Differentiable via custom_vjp: the backward is its own Pallas kernel
+recomputing P per (batch, head) in VMEM and applying the standard
+flash-attention gradient identities
+(dV = P^T dO, dP = dO V^T, dS = P*(dP - rowsum(dP*P))) — the
+(B, H, L, L) probability tensor never exists in HBM in either pass.
+(The earlier jnp backward materialised it twice: 2 x 5.7 GB per align
+layer at the flagship batch — the training step's largest allocation.)
+Backward grid is (B*H, q_blocks): dK/dV accumulate across consecutive
+q-block steps; dQ blocks are written once each. Only the 2 trainable
+align layers ever run it; the 12 frozen ViT layers are forward-only.
 """
 
 from __future__ import annotations
@@ -139,13 +144,49 @@ def _forward(q, k, v, scale, stable=None, kv_len=None):
     return out
 
 
-def _ref_attention(q, k, v, scale, kv_len=None):
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-    if kv_len is not None and kv_len < k.shape[1]:
-        col = jnp.arange(k.shape[1])[None, None, None, :]
-        s = jnp.where(col < kv_len, s, -jnp.inf)
-    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
-    return p, jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v)
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale: float, l_real: int):
+    """One q block vs full K/V for one (batch, head): recompute the
+    normalised probabilities (exact softmax, fp32) then
+    dV += P^T dO, dP = dO V^T, dS = P (dP - rowsum(dP P)) scale,
+    dQ = dS K, dK += dS^T Q."""
+    j = pl.program_id(1)
+    q = q_ref[0]   # (block_q, hd)
+    k = k_ref[0]   # (l_pad, hd)
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    l_pad = k.shape[0]
+    if l_real < l_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < l_real, s, -jnp.inf)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp2(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)            # (block_q, l_pad) fp32
+
+    pc = p.astype(v.dtype)
+    dv = jax.lax.dot_general(pc, do.astype(v.dtype), (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    dsc = ds.astype(q.dtype)
+    dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(dsc, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk.astype(dk_ref.dtype)
+    dv_ref[0] += dv.astype(dv_ref.dtype)
 
 
 def _fwd(q, k, v, scale, stable, kv_len):
@@ -154,18 +195,55 @@ def _fwd(q, k, v, scale, stable, kv_len):
 
 def _bwd(scale, stable, kv_len, residuals, g):
     q, k, v = residuals
+    b, l, h, hd = q.shape
     if scale is None:
-        scale = q.shape[-1] ** -0.5
-    # recompute probabilities, then standard softmax-attention gradients
-    p, _ = _ref_attention(q, k, v, scale, kv_len)  # (b, h, q, k) fp32
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
-    row = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - row) * scale
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32))
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32))
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+        scale = hd**-0.5
+    l_real = kv_len if kv_len is not None else l
+    l_pad = _pad_len(l)
+    # fp32 score rows + dk/dv accumulators must co-reside: halve the block
+    block_q = min(_pick_block_q(l_pad), 512)
+
+    def to_bh(x):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, l, hd)
+        if l_pad != l:
+            x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        return x
+
+    qb, kb, vb, dob = to_bh(q), to_bh(k), to_bh(v), to_bh(g)
+
+    grid = (b * h, l_pad // block_q)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=float(scale), l_real=l_real),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, l_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b * h, l_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, l_pad, hd), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=jax.default_backend() == "cpu",
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * l_pad * l_pad * hd,
+            bytes_accessed=6 * b * h * l_pad * hd * q.dtype.itemsize,
+            transcendentals=b * h * l_pad * l_pad,
+        ),
+    )(qb, kb, vb, dob)
+
+    def from_bh(x, dtype):
+        x = x[:, :l].reshape(b, h, l, hd).transpose(0, 2, 1, 3)
+        return x.astype(dtype)
+
+    return from_bh(dq, q.dtype), from_bh(dk, k.dtype), from_bh(dv, v.dtype)
 
 
 flash_attention.defvjp(_fwd, _bwd)

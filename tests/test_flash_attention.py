@@ -59,3 +59,40 @@ def test_vit_layer_flash_equals_xla():
     np.testing.assert_allclose(
         np.asarray(out_flash), np.asarray(out_xla), rtol=1e-4, atol=1e-5
     )
+
+
+def test_flash_gradients_multiblock_and_kvlen():
+    """Backward accumulation across several q blocks (l=600 -> 5 blocks of
+    128) and the persistent-padding path (kv_len < padded length)."""
+    rng = np.random.default_rng(3)
+
+    # multi-block accumulation
+    q, k, v = _qkv(rng, b=1, l=600, h=1, hd=16)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention(q, k, v) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(*map(jnp.asarray, (q, k, v)))
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(*map(jnp.asarray, (q, k, v)))
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    # caller-padded sequence: only kv_len tokens are real
+    q, k, v = _qkv(rng, b=1, l=128, h=2, hd=16)
+    kv_len = 70
+
+    def loss_flash_kv(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None, None, kv_len)[:, :kv_len] ** 2)
+
+    def loss_ref_kv(q, k, v):
+        return jnp.sum(attention(q[:, :kv_len], k[:, :kv_len], v[:, :kv_len]) ** 2)
+
+    gf = jax.grad(loss_flash_kv, argnums=(0, 1, 2))(*map(jnp.asarray, (q, k, v)))
+    gr = jax.grad(loss_ref_kv, argnums=(0, 1, 2))(*map(jnp.asarray, (q, k, v)))
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(
+            np.asarray(a)[:, :kv_len], np.asarray(b)[:, :kv_len], rtol=1e-4, atol=1e-4
+        )
