@@ -44,7 +44,8 @@ def make_jpegs(n: int, src: int = 1024, quality: int = 90):
         base = rng.integers(0, 256, (src // 8, src // 8), dtype=np.uint8)
         img = np.asarray(Image.fromarray(base).resize((src, src), Image.BILINEAR))
         buf = io.BytesIO()
-        Image.fromarray(np.stack([img] * 3, -1)).save(buf, "JPEG", quality=quality)
+        # single-component JPEG, like real CXR exports
+        Image.fromarray(img, "L").save(buf, "JPEG", quality=quality)
         out.append(buf.getvalue())
     return out
 
@@ -103,6 +104,7 @@ def bench_end_to_end(params, cfg, jnp, n_imgs: int = 192):
     with ServingEngine(
         params, cfg, proc, tok, max_batch=32, max_delay_ms=20.0,
         dtype=jnp.bfloat16, host_backend="native",
+        channels=1,  # CXR sources are grayscale: 3x fewer upload bytes
     ) as engine:
         engine.register_prompt_set("cls", prompts)
         engine.warmup()
@@ -147,7 +149,7 @@ def main():
         "a100_fp32_baseline_imgs_per_sec": A100_REFERENCE_IMGS_PER_SEC,
         "baseline_method": "derived (BASELINE.md): measured torch-eager utilization x A100 fp32 peak",
         "e2e_serving_jpeg1024_imgs_per_sec": round(e2e_ips, 2) if e2e_ips else None,
-        "e2e_note": "e2e is host-bound on this 1-CPU-core bench host (~95 decodes/s); headline is the chip-side serving path",
+        "e2e_note": "e2e (JPEG bytes -> probs+maps) is host/tunnel-bound on this 1-CPU-core bench host; headline is the chip-side serving path",
     }
     print(
         json.dumps(

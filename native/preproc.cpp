@@ -224,7 +224,8 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 }
 
 bool decode_rgb(const uint8_t* data, int len, std::vector<uint8_t>& pixels,
-                int* h, int* w, int min_h = 0, int min_w = 0) {
+                int* h, int* w, int min_h = 0, int min_w = 0,
+                bool grayscale = false) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -236,7 +237,7 @@ bool decode_rgb(const uint8_t* data, int len, std::vector<uint8_t>& pixels,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  cinfo.out_color_space = grayscale ? JCS_GRAYSCALE : JCS_RGB;
   // scaled decoding: pick the largest 1/d (d in {1,2,4,8}) whose output
   // still covers the resize target - cuts IDCT cost up to ~8x
   if (min_h > 0 && min_w > 0) {
@@ -253,9 +254,11 @@ bool decode_rgb(const uint8_t* data, int len, std::vector<uint8_t>& pixels,
   jpeg_start_decompress(&cinfo);
   *h = cinfo.output_height;
   *w = cinfo.output_width;
-  pixels.resize(static_cast<size_t>(*h) * *w * 3);
+  const int comps = cinfo.output_components;
+  pixels.resize(static_cast<size_t>(*h) * *w * comps);
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = pixels.data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
+    uint8_t* row =
+        pixels.data() + static_cast<size_t>(cinfo.output_scanline) * *w * comps;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
@@ -321,6 +324,20 @@ int decode_resize_jpeg_u8(const uint8_t* data, int len, uint8_t* dst,
   if (!decode_rgb(data, len, px, &h, &w, fast_scale ? oh : 0,
                   fast_scale ? ow : 0)) return 1;
   resize_u8(px.data(), h, w, 3, dst, oh, ow, bicubic != 0);
+  return 0;
+}
+
+// Grayscale variant: JPEG -> luma (libjpeg JCS_GRAYSCALE: BT.601 from
+// YCbCr, i.e. the Y plane directly for single-component CXR JPEGs) ->
+// resize -> u8 (oh, ow, 1). 3x fewer bytes host->device than RGB;
+// channel replication happens on device. 0 = ok.
+int decode_resize_jpeg_gray_u8(const uint8_t* data, int len, uint8_t* dst,
+                               int oh, int ow, int bicubic, int fast_scale) {
+  std::vector<uint8_t> px;
+  int h = 0, w = 0;
+  if (!decode_rgb(data, len, px, &h, &w, fast_scale ? oh : 0,
+                  fast_scale ? ow : 0, /*grayscale=*/true)) return 1;
+  resize_u8(px.data(), h, w, 1, dst, oh, ow, bicubic != 0);
   return 0;
 }
 }  // extern "C"

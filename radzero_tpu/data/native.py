@@ -73,6 +73,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.decode_resize_normalize_jpeg.restype = ci
     lib.decode_resize_jpeg_u8.argtypes = [u8p, ci, u8p, ci, ci, ci, ci]
     lib.decode_resize_jpeg_u8.restype = ci
+    lib.decode_resize_jpeg_gray_u8.argtypes = [u8p, ci, u8p, ci, ci, ci, ci]
+    lib.decode_resize_jpeg_gray_u8.restype = ci
     return lib
 
 
@@ -215,6 +217,25 @@ def decode_resize_u8(
     buf = np.frombuffer(data, np.uint8)
     out = np.empty((oh, ow, 3), np.uint8)
     rc = lib.decode_resize_jpeg_u8(
+        _u8p(buf), len(data), _u8p(out), oh, ow,
+        1 if mode == "bicubic" else 0, 1 if fast_scale else 0,
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out
+
+
+def decode_resize_gray_u8(
+    data: bytes, oh: int, ow: int, mode: str = "bicubic", fast_scale: bool = False
+) -> np.ndarray:
+    """Grayscale serving path: JPEG bytes -> luma -> resize ->
+    (oh, ow, 1) u8. 3x fewer upload bytes than RGB for single-channel
+    CXR sources; the model broadcasts to 3 channels on device."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((oh, ow, 1), np.uint8)
+    rc = lib.decode_resize_jpeg_gray_u8(
         _u8p(buf), len(data), _u8p(out), oh, ow,
         1 if mode == "bicubic" else 0, 1 if fast_scale else 0,
     )

@@ -40,20 +40,44 @@ def export_zero_shot(
     n_prompts: int = 20,
     max_tokens: int = 32,
     dtype=jnp.bfloat16,
+    from_uint8: bool = False,
+    channels: int = 3,
+    image_mean=None,
+    image_std=None,
 ) -> str:
-    """Serialize compute_logits at fixed shapes; returns the bundle dir."""
+    """Serialize compute_logits at fixed shapes; returns the bundle dir.
+
+    ``from_uint8``: bake the ServingEngine's split pipeline into the
+    bundle — inputs are resized uint8 (B, img, img, channels) and the
+    rescale+normalise (and channel broadcast for channels=1 grayscale
+    sources) happen inside the exported program. ``image_mean/std``
+    default to the CLIP statistics the flagship Blip processor uses."""
     os.makedirs(out_dir, exist_ok=True)
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    if from_uint8:
+        from radzero_tpu.data.processing import CLIP_MEAN, CLIP_STD
+        from radzero_tpu.ops.layers import normalize_pixels
+
+        image_mean = tuple(image_mean) if image_mean is not None else CLIP_MEAN
+        image_std = tuple(image_std) if image_std is not None else CLIP_STD
 
     def fn(pixel_values, input_ids, attention_mask):
+        if from_uint8:
+            if pixel_values.shape[-1] == 1:
+                pixel_values = jnp.broadcast_to(
+                    pixel_values, (*pixel_values.shape[:-1], 3)
+                )
+            pixel_values = normalize_pixels(pixel_values, image_mean, image_std, dtype)
         out = compute_logits(
             params, cfg, pixel_values, input_ids, attention_mask, dtype=dtype
         )
         return out["logits"], out["similarity_scores"]
 
     img = cfg.vision.img_size
+    in_dtype = jnp.uint8 if from_uint8 else dtype
+    in_ch = channels if from_uint8 else 3
     args = (
-        jax.ShapeDtypeStruct((batch_size, img, img, 3), dtype),
+        jax.ShapeDtypeStruct((batch_size, img, img, in_ch), in_dtype),
         jax.ShapeDtypeStruct((n_prompts, max_tokens), jnp.int32),
         jax.ShapeDtypeStruct((n_prompts, max_tokens), jnp.int32),
     )
@@ -68,6 +92,8 @@ def export_zero_shot(
                 "max_tokens": max_tokens,
                 "img_size": img,
                 "dtype": str(np.dtype(dtype).name) if dtype != jnp.bfloat16 else "bfloat16",
+                "from_uint8": from_uint8,
+                "channels": in_ch,
             },
             f,
             indent=2,

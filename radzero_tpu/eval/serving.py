@@ -51,10 +51,29 @@ class _Request:
 
 
 class ServingEngine:
+    @classmethod
+    def from_bundle(cls, bundle_dir: str, image_processor, tokenizer, **kw):
+        """Cold-start from an AOT bundle (eval/export.py): no Python
+        model tracing — the serialized StableHLO program is compiled
+        directly. The bundle pins max_batch/channels; device_normalize
+        follows the bundle's ``from_uint8`` flag."""
+        from radzero_tpu.eval.export import load_zero_shot
+
+        runner, meta = load_zero_shot(bundle_dir)
+        kw.setdefault("max_batch", meta["batch_size"])
+        kw.setdefault("channels", meta.get("channels", 3))
+        kw.setdefault("device_normalize", meta.get("from_uint8", False))
+        if kw["max_batch"] != meta["batch_size"]:
+            raise ValueError(
+                f"bundle was exported at batch {meta['batch_size']}, "
+                f"got max_batch={kw['max_batch']}"
+            )
+        return cls(None, None, image_processor, tokenizer, aot_runner=runner, **kw)
+
     def __init__(
         self,
-        params: dict,
-        cfg: RadZeroConfig,
+        params: Optional[dict],
+        cfg: Optional[RadZeroConfig],
         image_processor,
         tokenizer,
         *,
@@ -64,6 +83,8 @@ class ServingEngine:
         preprocess_threads: int = 8,
         device_normalize: bool = True,
         host_backend: str = "auto",   # "auto" | "native" | "pil"
+        channels: int = 3,
+        aot_runner=None,
     ):
         """``device_normalize``: split the image pipeline — host does
         decode+resize to u8 only, device does rescale+normalise (bit-
@@ -71,7 +92,12 @@ class ServingEngine:
         ``host_backend``: "native" decodes/resizes JPEG bytes in C++
         (torch-bicubic resize semantics — the throughput path); "pil"
         keeps PIL end to end (reference bit-parity); "auto" uses native
-        when the library is built."""
+        when the library is built.
+        ``channels=1``: grayscale upload for single-channel sources
+        (CXRs) — 3x fewer host->device bytes; the luma plane is
+        broadcast to RGB on device before normalisation. Exact for
+        grayscale JPEGs (the Y plane IS the pixel data); requires
+        device_normalize."""
         self.cfg = cfg
         self.image_processor = image_processor
         self.tokenizer = tokenizer
@@ -83,6 +109,11 @@ class ServingEngine:
             and hasattr(image_processor, "resize_u8")
             and hasattr(image_processor, "mean")
         )
+        if channels not in (1, 3):
+            raise ValueError("channels must be 1 or 3")
+        if channels == 1 and not self.device_normalize:
+            raise ValueError("channels=1 requires device_normalize")
+        self.channels = channels
         self._native = None
         if host_backend in ("auto", "native"):
             from radzero_tpu.data import native
@@ -91,17 +122,27 @@ class ServingEngine:
                 self._native = native
             elif host_backend == "native":
                 raise RuntimeError("native preprocessing library unavailable")
-        self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        if aot_runner is not None:
+            self.params = None
+            self._jitted = lambda params, pv, ids, mask: aot_runner(pv, ids, mask)
+        else:
+            self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+            self._jitted = jax.jit(self._fn)
         self._prompt_sets: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._pool = cf.ThreadPoolExecutor(preprocess_threads)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
-        self._jitted = jax.jit(self._fn)
         self._worker.start()
 
     # ------------------------------------------------------------------
     def _fn(self, params, pixel_values, input_ids, attention_mask):
+        if pixel_values.shape[-1] == 1:
+            # grayscale upload: broadcast to RGB before the per-channel
+            # normalise; XLA fuses both into the patch-embed conv
+            pixel_values = jnp.broadcast_to(
+                pixel_values, (*pixel_values.shape[:-1], 3)
+            )
         if pixel_values.dtype == jnp.uint8:
             pixel_values = normalize_pixels(
                 pixel_values, self.image_processor.mean, self.image_processor.std,
@@ -121,6 +162,8 @@ class ServingEngine:
         dummy = np.zeros((*image_hw, 3), np.uint8)
         if self.device_normalize:
             pv = self.image_processor.resize_u8(dummy)[None]
+            if self.channels == 1:
+                pv = pv[..., :1]
             pv = jnp.asarray(np.repeat(pv, self.max_batch, axis=0))
         else:
             pv = self.image_processor(dummy)["pixel_values"]
@@ -177,14 +220,16 @@ class ServingEngine:
 
     def _run(self) -> None:
         # software pipeline: dispatch batch i, then assemble batch i+1 on
-        # host threads while the device runs; resolve i's futures when
-        # i+1 dispatches (or on idle)
+        # host threads while the device runs; result fetching (_resolve)
+        # runs on the thread pool so the device-sync + host sigmoid work
+        # overlaps the next batch's decode instead of serialising the
+        # dispatch loop
         pending = None  # (batch, device outputs)
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
                 if pending is not None:
-                    self._resolve(*pending)
+                    self._pool.submit(self._resolve, *pending)
                     pending = None
                 continue
             try:
@@ -195,20 +240,22 @@ class ServingEngine:
                         r.future.set_exception(e)
                 continue
             if pending is not None:
-                self._resolve(*pending)
+                self._pool.submit(self._resolve, *pending)
             pending = (batch, dispatched)
         if pending is not None:  # drain on shutdown
             self._resolve(*pending)
 
     def _preprocess(self, req: _Request) -> np.ndarray:
         """Host half of the pipeline for one request: decode + resize.
-        Returns u8 (device_normalize) or normalised f32."""
+        Returns u8 (device_normalize; (S, S, channels)) or normalised f32."""
         img = req.image
         if isinstance(img, (bytes, bytearray)):
             size = getattr(self.image_processor, "size", None)
             if self._native is not None and size is not None:
                 if req.origin_hw is None and req.want_maps == "full":
                     req.origin_hw = self._native.jpeg_dims(bytes(img))
+                if self.channels == 1:
+                    return self._native.decode_resize_gray_u8(bytes(img), size, size)
                 u8 = self._native.decode_resize_u8(bytes(img), size, size)
                 if self.device_normalize:
                     return u8
@@ -220,6 +267,14 @@ class ServingEngine:
                 req.origin_hw = (pil.height, pil.width)
             img = pil
         if self.device_normalize:
+            if self.channels == 1:
+                from PIL import Image
+
+                if isinstance(img, np.ndarray):
+                    img = Image.fromarray(img)
+                size = self.image_processor.size
+                gray = img.convert("L").resize((size, size), Image.Resampling.BICUBIC)
+                return np.asarray(gray, np.uint8)[..., None]
             return self.image_processor.resize_u8(img)
         return self.image_processor(img)["pixel_values"][0]
 
@@ -261,7 +316,8 @@ class ServingEngine:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2)
-        self._pool.shutdown(wait=False)
+        # wait: in-flight _resolve tasks must finish before futures die
+        self._pool.shutdown(wait=True)
 
     def __enter__(self):
         return self

@@ -52,3 +52,49 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(scores), np.asarray(ref["similarity_scores"]), rtol=1e-4, atol=1e-4
     )
+
+
+def test_bundle_cold_start_serving_engine(tmp_path):
+    """AOT bundle (uint8 grayscale contract baked in) -> ServingEngine
+    cold start -> same probs/maps as the live-params engine."""
+    import io
+
+    from PIL import Image
+
+    from radzero_tpu.data.processing import BlipStyleImageProcessor
+    from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
+    from radzero_tpu.eval.serving import ServingEngine
+
+    params = init_radzero(jax.random.PRNGKey(1), CFG)
+    proc = BlipStyleImageProcessor(size=28)
+    tok = WhitespaceHashTokenizer(vocab_size=101, max_length=8)
+
+    bundle = export_zero_shot(
+        params, CFG, str(tmp_path), batch_size=2, n_prompts=1, max_tokens=8,
+        dtype=jnp.float32, from_uint8=True, channels=1,
+        image_mean=proc.mean, image_std=proc.std,
+    )
+
+    rng = np.random.default_rng(1)
+    gray = rng.integers(0, 256, (40, 30), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, "JPEG", quality=95)
+    jpeg = buf.getvalue()
+
+    with ServingEngine.from_bundle(bundle, proc, tok, max_delay_ms=20) as engine:
+        assert engine.max_batch == 2 and engine.channels == 1
+        assert engine.device_normalize
+        engine.register_prompt_set("cls", ["There is Edema"])
+        got = engine.submit(jpeg, "cls", want_maps=True).result(timeout=120)
+
+    with ServingEngine(
+        params, CFG, proc, tok, max_batch=2, max_delay_ms=20,
+        dtype=jnp.float32, channels=1,
+    ) as ref_engine:
+        ref_engine.register_prompt_set("cls", ["There is Edema"])
+        ref = ref_engine.submit(jpeg, "cls", want_maps=True).result(timeout=120)
+
+    np.testing.assert_allclose(got["probs"], ref["probs"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        got["similarity_maps"], ref["similarity_maps"], rtol=1e-5, atol=1e-6
+    )

@@ -214,3 +214,35 @@ def test_scorer_device_normalize_matches_host_path():
 
     np.testing.assert_allclose(ld, lh, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(sd, sh, rtol=1e-5, atol=1e-5)
+
+
+def test_serving_grayscale_channel_upload_matches_rgb():
+    """channels=1 (grayscale upload, device broadcast) must match the RGB
+    path exactly for grayscale sources."""
+    import io
+
+    from PIL import Image
+
+    params = init_radzero(jax.random.PRNGKey(5), CFG)
+    proc = BlipStyleImageProcessor(size=28)
+    tok = WhitespaceHashTokenizer(vocab_size=5003, max_length=10)
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (40, 30), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, "JPEG", quality=95)
+    jpeg = buf.getvalue()
+
+    def run(channels):
+        with ServingEngine(
+            params, CFG, proc, tok, max_batch=2, max_delay_ms=20,
+            dtype=jnp.float32, channels=channels,
+        ) as engine:
+            engine.register_prompt_set("cls", ["There is Edema"])
+            return engine.submit(jpeg, "cls", want_maps=True).result(timeout=120)
+
+    r1 = run(1)
+    r3 = run(3)
+    np.testing.assert_allclose(r1["probs"], r3["probs"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        r1["similarity_maps"], r3["similarity_maps"], rtol=1e-5, atol=1e-6
+    )
