@@ -102,7 +102,16 @@ class TrainLoader:
         num_threads: int = 8,
         prefetch: int = 2,
         drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """Multi-host sharding (``process_count > 1``): every process
+        draws the SAME deterministic global shuffle (seed + epoch), then
+        takes its strided slice — disjoint records, equal batch counts,
+        no coordination traffic. ``group_map`` carries global image
+        indices offset by ``process_index * batch_size`` within each
+        global step, mirroring the reference's ``rank * B_local`` offset
+        (losses.py:149-151)."""
         self.records = records
         self.image_loader = image_loader
         self.tokenizer = tokenizer
@@ -113,11 +122,26 @@ class TrainLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.drop_last = drop_last
+        if not (0 <= process_index < process_count):
+            raise ValueError(f"process_index {process_index} not in [0, {process_count})")
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
+    def _global_usable(self) -> int:
+        """Records usable per epoch across all processes (truncated so
+        every process sees the same number of full batches)."""
+        per_step = self.batch_size * self.process_count
+        if self.drop_last:
+            return (len(self.records) // per_step) * per_step
+        return len(self.records)
+
     def __len__(self) -> int:
-        n = len(self.records) // self.batch_size
-        if not self.drop_last and len(self.records) % self.batch_size:
+        if self.drop_last:
+            return self._global_usable() // (self.batch_size * self.process_count)
+        mine = len(range(self.process_index, len(self.records), self.process_count))
+        n = mine // self.batch_size
+        if mine % self.batch_size:
             n += 1
         return n
 
@@ -135,16 +159,26 @@ class TrainLoader:
         order = np.arange(len(self.records))
         if self.shuffle:
             rng.shuffle(order)
+        if self.process_count > 1:
+            order = order[: self._global_usable()] if self.drop_last else order
+            order = order[self.process_index :: self.process_count]
         self.epoch += 1
 
         q: Queue = Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        offset = self.process_index * self.batch_size
+
         def producer():
             with cf.ThreadPoolExecutor(self.num_threads) as pool:
                 for recs in self._batches(order):
                     imgs = np.stack(list(pool.map(self.image_loader, recs)))
-                    q.put(pack_batch(recs, imgs, self.tokenizer, self.spec, rng))
+                    q.put(
+                        pack_batch(
+                            recs, imgs, self.tokenizer, self.spec, rng,
+                            global_offset=offset,
+                        )
+                    )
             q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
