@@ -161,3 +161,97 @@ def rle2mask(rle: str, height: int, width: int) -> np.ndarray:
         mask[pos : pos + length] = 1
         pos += length
     return mask.reshape(width, height).T
+
+
+class StreamingSegmentationMetrics:
+    """Single-pass segmentation metrics: maps are consumed one image at a
+    time and discarded (the materialising path holds EVERY full-res
+    probability map — gigabytes for SIIM/RSNA-sized sets).
+
+    Exactly reproduces the sweep semantics of segmentation_utils.py:
+    - best-Dice threshold sweep (0..1 step .01, positives only, first
+      max) via per-threshold (TP, pred) count accumulation: a pixel with
+      prob p contributes to every threshold t < p, so per-image
+      ``searchsorted(grid, p, side='left')`` bincounts + a suffix sum
+      yield all 101 counts at once — bit-identical to the naive
+      ``(p > t)`` comparisons;
+    - specificity from per-negative-image max prob (``(p > t).sum()==0``
+      iff ``max(p) <= t``);
+    - image-level AUC from the (small) logit/label lists;
+    - pixel-level AUROC from fixed-bin histograms (``auroc_bins``,
+      default 4096) — a streaming approximation with error O(1/bins),
+      flagged in the result as ``pixel_level_auroc_streaming``.
+    """
+
+    def __init__(self, auroc_bins: int = 4096):
+        self.thresholds = np.arange(0, 1.01, 0.01)
+        n = len(self.thresholds)
+        self._pos_tp = np.zeros(n, np.int64)
+        self._pos_pred = np.zeros(n, np.int64)
+        self._pos_target = 0
+        self._neg_max: list = []
+        self._logits: list = []
+        self._labels: list = []
+        self._bins = auroc_bins
+        edges = np.linspace(0.0, 1.0, auroc_bins + 1)
+        self._edges = edges
+        self._hist_pos = np.zeros(auroc_bins, np.int64)
+        self._hist_neg = np.zeros(auroc_bins, np.int64)
+
+    def _counts_above_thresholds(self, p: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.thresholds, p.ravel(), side="left")
+        c = np.bincount(idx, minlength=len(self.thresholds) + 1)
+        total = c.sum()
+        return (total - np.cumsum(c))[: len(self.thresholds)]
+
+    def update(self, logit: float, prob_map: np.ndarray, mask: np.ndarray) -> None:
+        mask = mask.astype(bool)
+        positive = bool(mask.sum() > 0)
+        self._logits.append(float(logit))
+        self._labels.append(int(positive))
+        if positive:
+            self._pos_pred += self._counts_above_thresholds(prob_map)
+            self._pos_tp += self._counts_above_thresholds(prob_map[mask])
+            self._pos_target += int(mask.sum())
+        else:
+            self._neg_max.append(float(prob_map.max()))
+        flat = np.clip(prob_map.ravel(), 0.0, 1.0)
+        self._hist_pos += np.histogram(flat[mask.ravel()], bins=self._edges)[0]
+        self._hist_neg += np.histogram(flat[~mask.ravel()], bins=self._edges)[0]
+
+    def finalize(self, compute_pixel_level_auroc: bool = False) -> dict:
+        from sklearn.metrics import roc_auc_score
+
+        result: dict = {}
+        result["auc"] = float(
+            roc_auc_score(np.asarray(self._labels), np.asarray(self._logits))
+        )
+        dice = 2.0 * self._pos_tp / np.maximum(
+            self._pos_pred + self._pos_target, 1e-12
+        )
+        best_dice, best_t = 0.0, 0.0
+        for t, d in zip(self.thresholds, dice):  # strict >: first max wins
+            if d > best_dice:
+                best_dice, best_t = float(d), float(t)
+        result["dice"] = best_dice
+        result["best_threshold"] = best_t
+        if self._neg_max:
+            result["specificity"] = float(
+                np.mean(np.asarray(self._neg_max) <= best_t)
+            )
+        else:
+            result["specificity"] = float("nan")
+        if compute_pixel_level_auroc:
+            result["pixel_level_auroc_streaming"] = self._hist_auc()
+        return result
+
+    def _hist_auc(self) -> float:
+        """Mann-Whitney AUC from binned score histograms (ties within a
+        bin handled as half-credit)."""
+        pos, neg = self._hist_pos.astype(np.float64), self._hist_neg.astype(np.float64)
+        n_pos, n_neg = pos.sum(), neg.sum()
+        if n_pos == 0 or n_neg == 0:
+            return float("nan")
+        neg_below = np.concatenate([[0.0], np.cumsum(neg)[:-1]])
+        u = np.sum(pos * (neg_below + 0.5 * neg))
+        return float(u / (n_pos * n_neg))

@@ -74,15 +74,35 @@ def _finish_metrics(
     return result
 
 
+def _stream_metrics(
+    logits, scores, sizes, masks, geometry, compute_pixel_level_auroc, tag
+) -> Dict[str, float]:
+    """Single-pass variant: each map is upsampled, consumed, discarded —
+    O(1) map memory instead of holding every full-res probability map.
+    Dice/specificity/image-AUC are exact; pixel AUROC is the streaming
+    histogram approximation (eval/metrics.py)."""
+    from radzero_tpu.eval.metrics import StreamingSegmentationMetrics
+
+    acc = StreamingSegmentationMetrics()
+    for logit, s, size, mask in zip(logits[:, 0], scores, sizes, masks):
+        prob = _sigmoid(upsample_similarity_map(s[0], size, geometry))
+        acc.update(float(logit), prob, mask)
+    result = acc.finalize(compute_pixel_level_auroc)
+    logger.info(f"{tag} Result: {result}")
+    return result
+
+
 def eval_segmentation_siim(
     scorer: ZeroShotScorer,
     data: pd.DataFrame,
     text: str,
     data_root_dir: str,
     compute_pixel_level_auroc: bool = False,
+    streaming: bool = False,
 ) -> Dict[str, float]:
     """SIIM: rows grouped by ImageId, ' EncodedPixels' RLE masks,
-    prompt 'There is Pneumothorax' (ref segmentation_utils.py:161-287)."""
+    prompt 'There is Pneumothorax' (ref segmentation_utils.py:161-287).
+    ``streaming=True``: constant map memory (see _stream_metrics)."""
     imgids = data.ImageId.unique().tolist()
     groups = data.groupby("ImageId")
     geometry = scorer.image_processor.geometry
@@ -108,6 +128,10 @@ def eval_segmentation_siim(
 
     logits, scores = scorer.score(items, load, [text], need_scores=True)
 
+    if streaming:
+        return _stream_metrics(
+            logits, scores, sizes, masks, geometry, compute_pixel_level_auroc, "SIIM"
+        )
     probs = [
         _sigmoid(upsample_similarity_map(s[0], size, geometry))
         for s, size in zip(scores, sizes)
@@ -124,6 +148,7 @@ def eval_segmentation_rsna_medklip(
     text: str,
     data_root_dir: str,
     compute_pixel_level_auroc: bool = False,
+    streaming: bool = False,
 ) -> Dict[str, float]:
     """RSNA (MedKLIP split): 'boxes' column 'x;y;w;h|...' masks,
     prompt 'There is Pneumonia' (ref segmentation_utils.py:290-425)."""
@@ -151,6 +176,10 @@ def eval_segmentation_rsna_medklip(
 
     logits, scores = scorer.score(items, load, [text], need_scores=True)
 
+    if streaming:
+        return _stream_metrics(
+            logits, scores, sizes, masks, geometry, compute_pixel_level_auroc, "RSNA"
+        )
     probs = [
         _sigmoid(upsample_similarity_map(s[0], size, geometry))
         for s, size in zip(scores, sizes)

@@ -65,3 +65,48 @@ def test_specificity_matches_reference_formula():
     ours = compute_specificity(neg, t)
     ref = float(np.mean([(neg[i] > t).sum() == 0 for i in range(8)]))
     np.testing.assert_allclose(ours, ref)
+
+
+def test_streaming_metrics_match_materializing_path():
+    """StreamingSegmentationMetrics must equal the batch computation
+    exactly (dice/threshold/specificity/image-AUC) and approximate pixel
+    AUROC to ~1/bins."""
+    from sklearn.metrics import roc_auc_score
+
+    from radzero_tpu.eval.metrics import StreamingSegmentationMetrics, pixel_auroc
+
+    rng = np.random.default_rng(3)
+    probs, masks, logits = [], [], []
+    for i in range(10):
+        h, w = 30 + i, 25 + i
+        m = np.zeros((h, w), np.int64)
+        if i % 3 != 0:  # mix of positives and negatives
+            m[5 : 5 + i + 2, 4 : 4 + i + 3] = 1
+        p = rng.random((h, w)).astype(np.float32) * 0.5 + 0.25 * m
+        probs.append(p)
+        masks.append(m)
+        logits.append(float(rng.standard_normal()))
+
+    # materializing reference
+    pos_p = np.concatenate([p.ravel() for p, m in zip(probs, masks) if m.sum() > 0])
+    pos_m = np.concatenate([m.ravel() for m in masks if m.sum() > 0])
+    ref_dice, ref_t = best_threshold_dice(pos_p, pos_m)
+    negs = [p for p, m in zip(probs, masks) if m.sum() == 0]
+    ref_spec = float(np.mean([(p > ref_t).sum() == 0 for p in negs]))
+    labels = [int(m.sum() > 0) for m in masks]
+    ref_auc = float(roc_auc_score(labels, logits))
+    ref_px = pixel_auroc(
+        np.concatenate([p.ravel() for p in probs]),
+        np.concatenate([m.ravel() for m in masks]),
+    )
+
+    acc = StreamingSegmentationMetrics()
+    for lg, p, m in zip(logits, probs, masks):
+        acc.update(lg, p, m)
+    out = acc.finalize(compute_pixel_level_auroc=True)
+
+    np.testing.assert_allclose(out["dice"], ref_dice, rtol=0, atol=1e-12)
+    assert out["best_threshold"] == ref_t
+    np.testing.assert_allclose(out["specificity"], ref_spec)
+    np.testing.assert_allclose(out["auc"], ref_auc)
+    np.testing.assert_allclose(out["pixel_level_auroc_streaming"], ref_px, atol=2e-3)

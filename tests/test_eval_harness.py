@@ -189,3 +189,22 @@ def test_model_inference_public_api(data_root, scorer):
     assert 0.0 <= float(prob[0]) <= 1.0
     assert smap.shape == (1, 70, 60)
     assert np.all((smap >= 0) & (smap <= 1))
+
+
+def test_segmentation_streaming_matches_materializing(data_root, scorer):
+    """streaming=True must reproduce the materializing path's dice,
+    threshold, specificity, and image AUC exactly."""
+    import pandas as pd
+
+    from radzero_tpu.eval.segmentation import eval_segmentation_siim
+
+    csv = pd.read_csv(os.path.join(data_root, "SIIM", "test.csv"))
+    ref = eval_segmentation_siim(scorer, csv, "There is Pneumothorax", data_root)
+    out = eval_segmentation_siim(
+        scorer, csv, "There is Pneumothorax", data_root, streaming=True
+    )
+    for key in ("auc", "dice", "best_threshold", "specificity"):
+        import numpy as np
+
+        np.testing.assert_allclose(out[key], ref[key], rtol=0, atol=1e-12,
+                                   err_msg=key)
