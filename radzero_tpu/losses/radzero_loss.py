@@ -74,6 +74,7 @@ def radzero_loss(
     need_scores: bool = False,
     compute_loss: bool = True,
     impl: str = "xla",
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     outputs: Dict[str, jnp.ndarray] = {}
 
@@ -99,6 +100,7 @@ def radzero_loss(
         temperature=attn_temp,
         need_scores=need_scores,
         impl=impl,
+        mesh=mesh,
     )
     outputs["t2i_logits"] = t2i_logits  # (S, B)
     if scores is not None:

@@ -225,6 +225,7 @@ def forward_train(
     dtype=jnp.float32,
     remat: bool = False,
     stop_vision_gradient: bool = False,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """One training forward over the flattened global batch
     (ref modeling.py:213-276).
@@ -268,6 +269,7 @@ def forward_train(
                 batch["row_mask"],
                 vision["vision_tokens"],
                 impl=train_impl,
+                mesh=mesh,
             )
             losses["t2i_loss"] = out["losses"]["t2i_loss"]
             losses["radzero_loss"] = out["losses"]["loss"]

@@ -46,6 +46,7 @@ def vlcabs_similarity(
     temperature: Optional[jnp.ndarray] = None,  # scalar tau (required for cos)
     need_scores: bool = False,
     impl: str = "xla",           # xla | fused (fwd-only) | fused_train (custom VJP)
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Compute (logits (N, B), scores (B, N, L)) — SimilarityLogit semantics.
 
@@ -55,6 +56,15 @@ def vlcabs_similarity(
         fused_train  Pallas forward + flash-style recompute backward —
                      differentiable, never materialises (B, N, L) in HBM
                      (cos only; scores are not available on this path)
+
+    ``mesh`` (fused_train only): partition the kernel over the mesh's
+    'data' axis with shard_map — queries replicate (the all-gather the
+    reference does by hand, losses.py:156-161), tokens stay sharded on
+    B, and each device runs the kernel on its local images; the
+    transpose of the query broadcast psums dq across devices
+    (``dist.nn.all_gather``'s full-gradient semantics). Without this,
+    the SPMD partitioner treats the custom call as opaque and
+    replicates the full global product on every device.
     """
     compute_dtype = tokens.dtype
 
@@ -64,6 +74,18 @@ def vlcabs_similarity(
         from radzero_tpu.ops.pallas_vlcabs import vlcabs_fused_train
 
         qn = l2_normalize(queries.astype(compute_dtype))
+        if mesh is not None and "data" in mesh.axis_names:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            fn = shard_map(
+                vlcabs_fused_train,
+                mesh=mesh,
+                in_specs=(P(), P("data"), P()),
+                out_specs=P(None, "data"),
+                check_rep=False,
+            )
+            return fn(qn, tokens, temperature), None
         return vlcabs_fused_train(qn, tokens, temperature), None
 
     if impl == "fused" and sim_op == "cos":

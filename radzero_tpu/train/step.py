@@ -36,6 +36,7 @@ def make_train_step(
     remat: bool = False,
     donate: bool = True,
     stop_vision_gradient: Optional[bool] = None,
+    mesh=None,
 ) -> Callable:
     """Build ``train_step(trainable, frozen, opt_state, batch) ->
     (trainable, opt_state, losses)``; jit with donated carry.
@@ -52,7 +53,7 @@ def make_train_step(
             stop = "vision_model" not in trainable
         out = forward_train(
             params, cfg, batch, loss_ratio=loss_ratio, dtype=dtype, remat=remat,
-            stop_vision_gradient=stop,
+            stop_vision_gradient=stop, mesh=mesh,
         )
         losses = out["losses"]
         return losses["loss"], losses

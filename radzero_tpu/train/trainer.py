@@ -120,6 +120,7 @@ class RadZeroTrainer:
             dtype=dtype,
             remat=args.gradient_checkpointing,
             donate=True,
+            mesh=self.mesh,
         )
         self.eval_step = make_eval_step(model_cfg, loss_ratio=args.loss_ratio, dtype=dtype)
         self.state = TrainerState(

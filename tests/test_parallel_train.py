@@ -134,3 +134,36 @@ def test_train_step_multidevice_matches_single_device(setup):
     np.testing.assert_allclose(float(l8["loss"]), float(l1["loss"]), rtol=2e-5)
     diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), t8, t1)
     assert max(jax.tree.leaves(diffs)) < 1e-5
+
+
+def test_shard_map_vlcabs_step_matches_unsharded(setup):
+    """make_train_step(mesh=...) partitions the fused VL-CABS kernel with
+    shard_map (tokens sharded on B, queries broadcast, dq psum'd on the
+    transpose — the reference's dist.nn.all_gather semantics). Updated
+    params must match the meshless step."""
+    from jax.flatten_util import ravel_pytree
+
+    params, trainable, frozen, tx, opt_state, batch = setup
+    mesh = create_mesh({"data": 8})
+
+    step_ref = make_train_step(CFG, tx, dtype=jnp.float32, donate=False)
+    t_ref, o_ref, l_ref = step_ref(trainable, frozen, opt_state, batch)
+
+    bs = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    sharded_batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    step_mesh = make_train_step(CFG, tx, dtype=jnp.float32, donate=False, mesh=mesh)
+    t_out, o_out, l_out = step_mesh(
+        jax.device_put(trainable, rep),
+        jax.device_put(frozen, rep),
+        jax.device_put(opt_state, rep),
+        sharded_batch,
+    )
+
+    np.testing.assert_allclose(float(l_out["loss"]), float(l_ref["loss"]), rtol=2e-5)
+    np.testing.assert_allclose(
+        float(l_out["grad_norm"]), float(l_ref["grad_norm"]), rtol=2e-4
+    )
+    fa, _ = ravel_pytree(jax.device_get(t_out))
+    fb, _ = ravel_pytree(jax.device_get(t_ref))
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=1e-4, atol=1e-6)
