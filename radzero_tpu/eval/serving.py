@@ -85,6 +85,7 @@ class ServingEngine:
         host_backend: str = "auto",   # "auto" | "native" | "pil"
         channels: int = 3,
         aot_runner=None,
+        mesh=None,
     ):
         """``device_normalize``: split the image pipeline — host does
         decode+resize to u8 only, device does rescale+normalise (bit-
@@ -122,11 +123,20 @@ class ServingEngine:
                 self._native = native
             elif host_backend == "native":
                 raise RuntimeError("native preprocessing library unavailable")
+        self.mesh = mesh
         if aot_runner is not None:
+            if mesh is not None:
+                raise ValueError("AOT bundles are single-device; mesh unsupported")
             self.params = None
             self._jitted = lambda params, pv, ids, mask: aot_runner(pv, ids, mask)
         else:
             self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+            if mesh is not None:
+                # multi-chip serving: params replicated, batch sharded on
+                # the 'data' axis (same layout as the eval scorer)
+                from radzero_tpu.parallel.mesh import replicated_sharding
+
+                self.params = jax.device_put(self.params, replicated_sharding(mesh))
             self._jitted = jax.jit(self._fn)
         self._prompt_sets: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -287,6 +297,10 @@ class ServingEngine:
             )
         ids, mask = self._prompt_sets[batch[0].prompt_set]
         pv = jnp.asarray(imgs) if imgs.dtype == np.uint8 else jnp.asarray(imgs, self.dtype)
+        if self.mesh is not None:
+            from radzero_tpu.parallel.mesh import batch_sharding
+
+            pv = jax.device_put(pv, batch_sharding(self.mesh))
         logits, scores = self._jitted(self.params, pv, ids, mask)
         return logits, scores, n
 

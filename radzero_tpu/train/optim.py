@@ -72,7 +72,14 @@ def build_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     gradient_accumulation_steps: int = 1,
+    bf16_moments: bool = False,
 ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
+    """``bf16_moments``: store Adam's first moment in bfloat16 (optax
+    ``mu_dtype``) — 25% optimizer-state HBM saved with negligible update
+    error; the variance stays fp32 (bf16's 8 mantissa bits are too
+    coarse for v's dynamic range)."""
+    import jax.numpy as jnp
+
     schedule = warmup_cosine_schedule(learning_rate, warmup_steps, total_steps)
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
@@ -83,6 +90,7 @@ def build_optimizer(
             eps=eps,
             weight_decay=weight_decay,
             mask=decay_mask(trainable_params),
+            mu_dtype=jnp.bfloat16 if bf16_moments else None,
         ),
     )
     if gradient_accumulation_steps > 1:

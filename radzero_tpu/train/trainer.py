@@ -58,6 +58,7 @@ class TrainerArgs:
     load_best_model_at_end: bool = True
     early_stopping_patience: Optional[int] = None
     bf16: bool = True
+    bf16_optimizer_moments: bool = False  # Adam mu in bf16 (optim.py)
     gradient_checkpointing: bool = False
     gradient_accumulation_steps: int = 1
     seed: int = 42
@@ -109,6 +110,7 @@ class RadZeroTrainer:
             warmup_steps=args.warmup_steps,
             total_steps=total_steps,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
+            bf16_moments=args.bf16_optimizer_moments,
         )
         self.opt_state = self.optimizer.init(self.trainable)
 

@@ -64,3 +64,39 @@ def test_multisteps_accumulates_before_update():
     t4, s4, _ = step(t3, frozen, s3, b2)
     diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), t4, t2)
     assert max(jax.tree.leaves(diffs)) > 0.0
+
+
+def test_bf16_optimizer_moments():
+    """bf16_moments stores Adam mu in bfloat16 and updates stay close to
+    the fp32-moment optimizer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from radzero_tpu.train.optim import build_optimizer
+
+    params = {"w": {"kernel": jnp.ones((8, 8), jnp.float32) * 0.1,
+                    "bias": jnp.zeros((8,), jnp.float32)}}
+    grads = jax.tree.map(lambda x: jnp.full_like(x, 0.01), params)
+
+    tx32, _ = build_optimizer(params, total_steps=10)
+    tx16, _ = build_optimizer(params, total_steps=10, bf16_moments=True)
+    s32 = tx32.init(params)
+    s16 = tx16.init(params)
+
+    bf16 = jnp.dtype(jnp.bfloat16)
+    dtypes16 = {l.dtype for l in jax.tree.leaves(s16) if hasattr(l, "dtype")}
+    dtypes32 = {l.dtype for l in jax.tree.leaves(s32) if hasattr(l, "dtype")}
+    assert bf16 in dtypes16  # mu stored in bf16
+    assert bf16 not in dtypes32
+
+    p32, p16 = params, params
+    for _ in range(3):
+        u32, s32 = tx32.update(grads, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+        u16, s16 = tx16.update(grads, s16, p16)
+        p16 = optax.apply_updates(p16, u16)
+    a = np.asarray(p32["w"]["kernel"])
+    b = np.asarray(p16["w"]["kernel"])
+    np.testing.assert_allclose(b, a, rtol=1e-2, atol=1e-5)

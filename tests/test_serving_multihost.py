@@ -246,3 +246,30 @@ def test_serving_grayscale_channel_upload_matches_rgb():
     np.testing.assert_allclose(
         r1["similarity_maps"], r3["similarity_maps"], rtol=1e-5, atol=1e-6
     )
+
+
+def test_serving_engine_with_mesh_matches_single_device():
+    """Mesh-sharded serving (params replicated, batch sharded on 'data')
+    must match the single-device engine."""
+    params = init_radzero(jax.random.PRNGKey(6), CFG)
+    proc = BlipStyleImageProcessor(size=28)
+    tok = WhitespaceHashTokenizer(vocab_size=5003, max_length=10)
+    rng = np.random.default_rng(6)
+    imgs = [rng.integers(0, 256, (40, 30, 3), dtype=np.uint8) for _ in range(8)]
+
+    def run(mesh):
+        with ServingEngine(
+            params, CFG, proc, tok, max_batch=8, max_delay_ms=30,
+            dtype=jnp.float32, mesh=mesh,
+        ) as engine:
+            engine.register_prompt_set("cls", ["There is Edema", "There is Mass"])
+            futs = [engine.submit(im, "cls", want_maps=True) for im in imgs]
+            return [f.result(timeout=120) for f in futs]
+
+    single = run(None)
+    sharded = run(create_mesh({"data": 8}))
+    for a, b in zip(sharded, single):
+        np.testing.assert_allclose(a["probs"], b["probs"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            a["similarity_maps"], b["similarity_maps"], rtol=1e-4, atol=1e-4
+        )
