@@ -19,9 +19,8 @@ what it will train on, while keeping a deterministic global order:
 
 from __future__ import annotations
 
-import json
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 from radzero_tpu.utils.json_io import load_json, save_json
 

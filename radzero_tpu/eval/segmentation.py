@@ -23,7 +23,6 @@ from radzero_tpu.data.dicom import load_eval_image
 from radzero_tpu.eval.geometry import upsample_similarity_map
 from radzero_tpu.eval.metrics import (
     best_threshold_dice,
-    compute_specificity,
     pixel_auroc,
     rle2mask,
 )
