@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Production serving demo: JPEG bytes in -> probabilities + maps out.
+
+Shows the full deployment configuration of the ServingEngine:
+- native C++ JPEG decode + resize (libjpeg, fused)
+- grayscale uint8 upload with on-device normalisation (12x fewer
+  host->device bytes than fp32 RGB)
+- micro-batched dispatch with double-buffered host/device overlap
+- optional AOT StableHLO bundle cold start (no model tracing at boot)
+
+Run (random weights; pass --ckpt for a converted checkpoint):
+    python examples/serving_demo.py [--ckpt CONVERTED_DIR] [--bundle DIR]
+"""
+
+import argparse
+import io
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_demo_jpeg(size=1024) -> bytes:
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (size // 8, size // 8), dtype=np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((size, size), Image.BILINEAR))
+    buf = io.BytesIO()
+    Image.fromarray(img, "L").save(buf, "JPEG", quality=92)
+    return buf.getvalue()
+
+
+PROMPTS = [
+    "There is Atelectasis", "There is Cardiomegaly", "There is Consolidation",
+    "There is Edema", "There is Pleural Effusion", "There is Pneumonia",
+    "There is Pneumothorax", "There is no acute cardiopulmonary process",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", help="converted checkpoint dir (tools/convert_checkpoint.py)")
+    ap.add_argument("--bundle", help="AOT bundle dir (eval/export.py) — cold start")
+    ap.add_argument("--n_requests", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: first boot compiles (~1 min on TPU),
+    # subsequent boots start in seconds (or use --bundle for AOT)
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from radzero_tpu.data.processing import BlipStyleImageProcessor
+    from radzero_tpu.data.tokenizer import load_tokenizer
+    from radzero_tpu.eval.serving import ServingEngine
+    from radzero_tpu.models.configuration import RadZeroConfig
+    from radzero_tpu.models.radzero import init_radzero
+
+    proc = BlipStyleImageProcessor(size=518)
+    tok = load_tokenizer("sentence-transformers/all-mpnet-base-v2")
+
+    if args.bundle:
+        engine = ServingEngine.from_bundle(args.bundle, proc, tok)
+    else:
+        cfg = RadZeroConfig()
+        if args.ckpt:
+            from tools.run_real_checkpoint import load_converted
+
+            params, cfg = load_converted(args.ckpt)
+        else:
+            print("random weights (pass --ckpt for a real model)")
+            params = init_radzero(jax.random.PRNGKey(0), cfg)
+        engine = ServingEngine(
+            params, cfg, proc, tok,
+            max_batch=32, max_delay_ms=10.0, dtype=jnp.bfloat16,
+            host_backend="auto", channels=1,  # grayscale CXR sources
+        )
+
+    with engine:
+        engine.register_prompt_set("cxr14", PROMPTS)
+        engine.warmup()
+
+        jpeg = make_demo_jpeg()
+        t0 = time.perf_counter()
+        futs = [engine.submit(jpeg, "cxr14", want_maps=True)
+                for _ in range(args.n_requests)]
+        results = [f.result(timeout=600) for f in futs]
+        dt = time.perf_counter() - t0
+
+    r = results[0]
+    print(f"{args.n_requests} requests in {dt:.2f}s -> {args.n_requests/dt:.1f} img/s")
+    for prompt, p in zip(PROMPTS, r["probs"]):
+        print(f"  {p:.3f}  {prompt}")
+    print(f"similarity maps: {r['similarity_maps'].shape} (patch grid; "
+          f"submit(want_maps='full') for original-resolution)")
+
+
+if __name__ == "__main__":
+    main()

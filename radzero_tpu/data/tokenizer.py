@@ -22,7 +22,13 @@ class HFTokenizer:
     def __init__(self, name_or_path: str, max_length: int = 64):
         from transformers import AutoTokenizer
 
-        self.tok = AutoTokenizer.from_pretrained(name_or_path)
+        try:
+            # local-first: instant on a cached/downloaded snapshot, instant
+            # failure in zero-egress environments (the online path retries
+            # against the hub with ~30 s of backoff before giving up)
+            self.tok = AutoTokenizer.from_pretrained(name_or_path, local_files_only=True)
+        except Exception:
+            self.tok = AutoTokenizer.from_pretrained(name_or_path)
         self.max_length = max_length
 
     def __call__(self, texts: List[str], max_length: int | None = None) -> Tuple[np.ndarray, np.ndarray]:
