@@ -91,6 +91,11 @@ def main():
         engine.warmup()
 
         jpeg = make_demo_jpeg()
+        # untimed burst: first dispatches in a fresh process pay one-off
+        # executable load/upload costs on top of warmup()'s compile
+        for f in [engine.submit(jpeg, "cxr14") for _ in range(engine.max_batch)]:
+            f.result(timeout=600)
+
         t0 = time.perf_counter()
         futs = [engine.submit(jpeg, "cxr14", want_maps=True)
                 for _ in range(args.n_requests)]
