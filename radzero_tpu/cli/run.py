@@ -115,6 +115,7 @@ def main() -> None:
     spec = PackSpec(
         max_sentences_per_image=cfg["train"].get("max_sentences_per_image", 8),
         max_text_tokens=cfg["train"].get("max_text_tokens", 64),
+        text_length_buckets=tuple(cfg["train"].get("text_length_buckets", ())),
         # CLIP/SigLIP aux losses consume one random positive per image
         # (ref dataset.py:164-170 encoded_random_key_phrases)
         with_random_positive=any(

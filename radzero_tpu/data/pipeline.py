@@ -31,6 +31,13 @@ class PackSpec:
     max_sentences_per_image: int = 8
     max_text_tokens: int = 64
     with_random_positive: bool = False  # for CLIP/SigLIP aux losses
+    # Length buckets: per batch, the text block is trimmed to the
+    # smallest bucket covering its longest real sentence (plus
+    # max_text_tokens as the final bucket). MIMIC finding sentences
+    # average ~20 tokens, so a {16, 32} bucket set cuts the text-tower
+    # FLOPs 2-4x vs always padding to the static 64 slot; the train step
+    # re-jits once per distinct bucket (len(buckets)+1 executables max).
+    text_length_buckets: tuple = ()
 
 
 def pack_batch(
@@ -59,6 +66,12 @@ def pack_batch(
     n_real = len(texts)
     texts = texts + [""] * (S - n_real)
     ids, mask = tokenizer(texts, spec.max_text_tokens)
+    if spec.text_length_buckets:
+        longest = int(mask.sum(axis=1).max()) if n_real else 1
+        for b in sorted(spec.text_length_buckets):
+            if longest <= b < spec.max_text_tokens:
+                ids, mask = ids[:, :b], mask[:, :b]
+                break
 
     group_map = np.zeros((S,), np.int32)
     group_map[:n_real] = np.asarray(group, np.int32)

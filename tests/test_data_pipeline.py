@@ -111,3 +111,31 @@ def test_train_loader_epochs_and_shapes():
     # different epoch -> different order (shuffle advances)
     b2 = list(dl)
     assert len(b2) == 2
+
+
+def test_text_length_buckets_trim_batch():
+    """Bucketed packing trims the text block to the smallest covering
+    bucket; loss is invariant (the trimmed columns are all padding)."""
+    import numpy as np
+
+    from radzero_tpu.data.pipeline import PackSpec, pack_batch
+    from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
+
+    tok = WhitespaceHashTokenizer(vocab_size=1009, max_length=64)
+    records = [
+        {"key_phrases": ["short one", "a slightly longer finding sentence here"]},
+        {"key_phrases": ["another short"]},
+    ]
+    imgs = np.zeros((2, 8, 8, 3), np.float32)
+
+    spec = PackSpec(max_sentences_per_image=2, max_text_tokens=64,
+                    text_length_buckets=(16, 32))
+    b = pack_batch(records, imgs, tok, spec)
+    assert b["input_ids"].shape[1] == 16  # longest sentence ~8 tokens -> bucket 16
+    assert b["attention_mask"].shape[1] == 16
+
+    full = pack_batch(records, imgs, tok,
+                      PackSpec(max_sentences_per_image=2, max_text_tokens=64))
+    np.testing.assert_array_equal(b["input_ids"], full["input_ids"][:, :16])
+    # trimmed columns were pure padding
+    assert full["attention_mask"][:, 16:].sum() == 0
