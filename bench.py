@@ -108,6 +108,10 @@ def bench_end_to_end(params, cfg, jnp, n_imgs: int = 192):
     ) as engine:
         engine.register_prompt_set("cls", prompts)
         engine.warmup()
+        # untimed burst: the first dispatches pay one-off executable
+        # load/upload costs beyond warmup()'s compile
+        for f in [engine.submit(j, "cls") for j in jpegs[:32]]:
+            f.result(timeout=600)
         # measure steady state: submit everything, wait for the last future
         t0 = time.perf_counter()
         futs = [engine.submit(j, "cls", want_maps=True) for j in jpegs]
