@@ -142,8 +142,14 @@ class ServingEngine:
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._pool = cf.ThreadPoolExecutor(preprocess_threads)
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        # three-stage pipeline: decode thread -> dispatch thread -> pool
+        # resolves; decode of batch i+2 overlaps upload of i+1 and device
+        # compute of i
+        self._ready: "queue.Queue" = queue.Queue(maxsize=2)
+        self._worker = threading.Thread(target=self._run_decode, daemon=True)
+        self._dispatcher = threading.Thread(target=self._run_dispatch, daemon=True)
         self._worker.start()
+        self._dispatcher.start()
 
     # ------------------------------------------------------------------
     def _fn(self, params, pixel_values, input_ids, attention_mask):
@@ -228,22 +234,41 @@ class ServingEngine:
             batch.append(req)
         return batch
 
-    def _run(self) -> None:
-        # software pipeline: dispatch batch i, then assemble batch i+1 on
-        # host threads while the device runs; result fetching (_resolve)
-        # runs on the thread pool so the device-sync + host sigmoid work
-        # overlaps the next batch's decode instead of serialising the
-        # dispatch loop
-        pending = None  # (batch, device outputs)
+    def _run_decode(self) -> None:
+        """Stage 1: micro-batch assembly + host decode/resize."""
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
-                if pending is not None:
-                    self._pool.submit(self._resolve, *pending)
-                    pending = None
                 continue
             try:
-                dispatched = self._dispatch(batch)
+                imgs = np.stack(list(self._pool.map(self._preprocess, batch)))
+            except Exception as e:  # pragma: no cover - fault containment
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                continue
+            self._ready.put((batch, imgs))
+        self._ready.put(None)  # shutdown sentinel
+
+    def _run_dispatch(self) -> None:
+        """Stage 2: upload + device dispatch; resolves (device sync +
+        response assembly) run on the pool one batch behind."""
+        pending = None  # (batch, device outputs)
+        while True:
+            try:
+                item = self._ready.get(timeout=0.05)
+            except queue.Empty:
+                if pending is not None:  # idle: flush the in-flight batch
+                    self._pool.submit(self._resolve, *pending)
+                    pending = None
+                if self._stop.is_set():
+                    break
+                continue
+            if item is None:
+                break
+            batch, imgs = item
+            try:
+                dispatched = self._dispatch(batch, imgs)
             except Exception as e:  # pragma: no cover - fault containment
                 for r in batch:
                     if not r.future.done():
@@ -288,8 +313,7 @@ class ServingEngine:
             return self.image_processor.resize_u8(img)
         return self.image_processor(img)["pixel_values"][0]
 
-    def _dispatch(self, batch: List[_Request]):
-        imgs = np.stack(list(self._pool.map(self._preprocess, batch)))
+    def _dispatch(self, batch: List[_Request], imgs: np.ndarray):
         n = len(imgs)
         if n < self.max_batch:
             imgs = np.concatenate(
@@ -329,7 +353,8 @@ class ServingEngine:
     # ------------------------------------------------------------------
     def close(self) -> None:
         self._stop.set()
-        self._worker.join(timeout=2)
+        self._worker.join(timeout=5)
+        self._dispatcher.join(timeout=10)
         # wait: in-flight _resolve tasks must finish before futures die
         self._pool.shutdown(wait=True)
 
