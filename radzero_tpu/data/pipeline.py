@@ -117,6 +117,7 @@ class TrainLoader:
         drop_last: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        echo: int = 1,
     ):
         """Multi-host sharding (``process_count > 1``): every process
         draws the SAME deterministic global shuffle (seed + epoch), then
@@ -124,7 +125,12 @@ class TrainLoader:
         no coordination traffic. ``group_map`` carries global image
         indices offset by ``process_index * batch_size`` within each
         global step, mirroring the reference's ``rank * B_local`` offset
-        (losses.py:149-151)."""
+        (losses.py:149-151).
+
+        ``echo > 1``: data echoing for host-bound phases — each decoded
+        batch is yielded ``echo`` times back-to-back (the device takes
+        extra optimizer steps on data the host already paid to decode;
+        Choi et al. 2019). Counts toward __len__ and the LR schedule."""
         self.records = records
         self.image_loader = image_loader
         self.tokenizer = tokenizer
@@ -139,6 +145,9 @@ class TrainLoader:
             raise ValueError(f"process_index {process_index} not in [0, {process_count})")
         self.process_index = process_index
         self.process_count = process_count
+        if echo < 1:
+            raise ValueError("echo must be >= 1")
+        self.echo = echo
         self.epoch = 0
 
     def _global_usable(self) -> int:
@@ -151,12 +160,13 @@ class TrainLoader:
 
     def __len__(self) -> int:
         if self.drop_last:
-            return self._global_usable() // (self.batch_size * self.process_count)
-        mine = len(range(self.process_index, len(self.records), self.process_count))
-        n = mine // self.batch_size
-        if mine % self.batch_size:
-            n += 1
-        return n
+            n = self._global_usable() // (self.batch_size * self.process_count)
+        else:
+            mine = len(range(self.process_index, len(self.records), self.process_count))
+            n = mine // self.batch_size
+            if mine % self.batch_size:
+                n += 1
+        return n * self.echo
 
     def _batches(self, order: np.ndarray) -> Iterator[List[dict]]:
         for start in range(0, len(order), self.batch_size):
@@ -186,12 +196,12 @@ class TrainLoader:
             with cf.ThreadPoolExecutor(self.num_threads) as pool:
                 for recs in self._batches(order):
                     imgs = np.stack(list(pool.map(self.image_loader, recs)))
-                    q.put(
-                        pack_batch(
-                            recs, imgs, self.tokenizer, self.spec, rng,
-                            global_offset=offset,
-                        )
+                    packed = pack_batch(
+                        recs, imgs, self.tokenizer, self.spec, rng,
+                        global_offset=offset,
                     )
+                    for _ in range(self.echo):
+                        q.put(packed)
             q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)

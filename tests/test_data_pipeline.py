@@ -139,3 +139,29 @@ def test_text_length_buckets_trim_batch():
     np.testing.assert_array_equal(b["input_ids"], full["input_ids"][:, :16])
     # trimmed columns were pure padding
     assert full["attention_mask"][:, 16:].sum() == 0
+
+
+def test_data_echoing_repeats_batches():
+    import numpy as np
+
+    from radzero_tpu.data.pipeline import PackSpec, TrainLoader
+    from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
+
+    records = [{"id": i, "key_phrases": [f"f {i}"]} for i in range(8)]
+    tok = WhitespaceHashTokenizer(vocab_size=1009, max_length=8)
+
+    def load(rec):
+        return np.full((8, 8, 3), rec["id"], np.float32)
+
+    loader = TrainLoader(records, load, tok, 4,
+                         PackSpec(max_sentences_per_image=1, max_text_tokens=8),
+                         num_threads=2, echo=3)
+    assert len(loader) == 6  # 2 unique batches x 3 echoes
+    batches = list(loader)
+    assert len(batches) == 6
+    for k in range(0, 6, 3):
+        ids0 = batches[k]["pixel_values"][:, 0, 0, 0]
+        for j in (1, 2):
+            np.testing.assert_array_equal(
+                batches[k + j]["pixel_values"][:, 0, 0, 0], ids0
+            )
