@@ -17,6 +17,7 @@ from typing import Optional
 class ViTConfig:
     """DINOv2-style ViT encoder config (HF Dinov2Config subset)."""
 
+    model_type: str = "dinov2"    # dinov2 | raddino (same architecture)
     hidden_size: int = 768
     num_hidden_layers: int = 12
     num_attention_heads: int = 12

@@ -22,7 +22,8 @@ from radzero_tpu.utils.registry import TEXT_ENCODERS, VISION_ENCODERS
 # ---------------------------------------------------------------------------
 
 @VISION_ENCODERS.register("dinov2")
-def _dinov2():
+@VISION_ENCODERS.register("raddino")  # RadDINO = DINOv2-B fine-tuned on CXR:
+def _dinov2():                        # identical architecture + HF layout
     from radzero_tpu.models.vit import init_vit, vit_forward
 
     return init_vit, vit_forward

@@ -55,7 +55,7 @@ def init_radzero(
     align_init, _ = build_align_adapter(cfg.align.model_type)
 
     vision_type = getattr(cfg.vision, "model_type", "dinov2")
-    if vision_type == "dinov2":
+    if vision_type in ("dinov2", "raddino"):  # RadDINO: same architecture
         vision_params = init_vit(kv, cfg.vision)
     else:
         from radzero_tpu.models.encoders import build_vision_encoder
@@ -126,7 +126,7 @@ def forward_vision(
 
     model_type = getattr(cfg.vision, "model_type", "dinov2")
     real_len = None
-    if model_type == "dinov2":
+    if model_type in ("dinov2", "raddino"):
         # persistent lane padding: pad once before the 12-layer tower,
         # keep it through the align adapter, slice once after
         keep_padded = getattr(cfg.vision, "attn_impl", "xla") == "flash"

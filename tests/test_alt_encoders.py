@@ -155,3 +155,37 @@ def test_registries_have_reference_factory_entries():
     for tt in ("mpnet", "bioclinicalmpbert", "clip_text", "siglip_text"):
         init, apply = build_text_encoder(tt)
         assert callable(init) and callable(apply)
+
+
+def test_raddino_aliases_dinov2_tower():
+    """RadDINO (Microsoft CXR DINOv2-B) is architecture-identical to the
+    dinov2 tower: same init/forward and the same persistent-padding
+    fast path."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from radzero_tpu.models.configuration import (
+        AlignConfig, LossConfig, RadZeroConfig, TextConfig, ViTConfig,
+    )
+    from radzero_tpu.models.radzero import forward_vision, init_radzero
+
+    D = 32
+    base = RadZeroConfig(
+        vision=ViTConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2,
+                         mlp_ratio=2.0, patch_size=14, pretrain_img_size=28, img_size=28),
+        text=TextConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=64, vocab_size=101, max_position_embeddings=40),
+        align=AlignConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2, mlp_ratio=2.0),
+        loss=LossConfig(hidden_dim=D),
+    )
+    rad = dataclasses.replace(
+        base, vision=dataclasses.replace(base.vision, model_type="raddino")
+    )
+    p1 = init_radzero(jax.random.PRNGKey(0), base)
+    p2 = init_radzero(jax.random.PRNGKey(0), rad)
+    x = np.random.default_rng(0).standard_normal((1, 28, 28, 3)).astype(np.float32)
+    o1 = forward_vision(p1, base, x)["vision_tokens"]
+    o2 = forward_vision(p2, rad, x)["vision_tokens"]
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
