@@ -41,33 +41,40 @@ def main():
     step = make_train_step(cfg, tx, dtype=jnp.bfloat16, donate=True, remat=True)
 
     rng = np.random.default_rng(0)
-    b, spi, l = 64, 8, 64
+    b, spi = 64, 8
     s = b * spi
-    batch = {
-        "pixel_values": jnp.asarray(rng.standard_normal((b, 518, 518, 3)), jnp.float32),
-        "input_ids": jnp.asarray(rng.integers(3, 30000, (s, l)), jnp.int32),
-        "attention_mask": jnp.ones((s, l), jnp.int32),
-        "group_map": jnp.asarray(np.repeat(np.arange(b), spi), jnp.int32),
-        "row_mask": jnp.ones((s,), jnp.float32),
-    }
+    state = {"trainable": trainable, "opt_state": opt_state}
 
-    trainable, opt_state, losses = step(trainable, frozen, opt_state, batch)
-    float(losses["loss"])  # sync
+    def run(l):
+        batch = {
+            "pixel_values": jnp.asarray(rng.standard_normal((b, 518, 518, 3)), jnp.float32),
+            "input_ids": jnp.asarray(rng.integers(3, 30000, (s, l)), jnp.int32),
+            "attention_mask": jnp.ones((s, l), jnp.int32),
+            "group_map": jnp.asarray(np.repeat(np.arange(b), spi), jnp.int32),
+            "row_mask": jnp.ones((s,), jnp.float32),
+        }
+        t, o, losses = step(state["trainable"], frozen, state["opt_state"], batch)
+        state["trainable"], state["opt_state"] = t, o
+        float(losses["loss"])  # sync
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            t, o, losses = step(state["trainable"], frozen, state["opt_state"], batch)
+            state["trainable"], state["opt_state"] = t, o
+        float(losses["loss"])
+        return (time.perf_counter() - t0) / iters
 
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        trainable, opt_state, losses = step(trainable, frozen, opt_state, batch)
-    float(losses["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    dt64 = run(64)   # worst case: every sentence fills the static 64 slot
+    dt32 = run(32)   # the bucket real MIMIC sentences land in (~20 tokens)
 
     print(
         json.dumps(
             {
                 "metric": "train_step_throughput",
-                "value": round(b / dt, 1),
+                "value": round(b / dt64, 1),
                 "unit": "samples/sec/chip",
-                "step_ms": round(dt * 1e3, 1),
+                "step_ms": round(dt64 * 1e3, 1),
+                "bucketed_L32_samples_per_sec": round(b / dt32, 1),
             }
         )
     )
