@@ -144,10 +144,19 @@ def main():
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     device_ips = bench_device_path(params, cfg, jnp, jax)
+    # watchdog: the shared device tunnel occasionally stalls; a hung e2e
+    # pass must not suppress the headline line
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(1)
+    hung = False
     try:
-        e2e_ips = bench_end_to_end(params, cfg, jnp)
+        e2e_ips = pool.submit(bench_end_to_end, params, cfg, jnp).result(timeout=420)
+    except cf.TimeoutError:
+        e2e_ips, hung = None, True
     except Exception:
         e2e_ips = None
+    pool.shutdown(wait=False)  # a hung e2e must not block the headline
 
     extra = {
         "a100_fp32_baseline_imgs_per_sec": A100_REFERENCE_IMGS_PER_SEC,
@@ -164,8 +173,13 @@ def main():
                 "vs_baseline": round(device_ips / A100_REFERENCE_IMGS_PER_SEC, 2),
                 "extra": extra,
             }
-        )
+        ),
+        flush=True,
     )
+    if hung:
+        # non-daemon worker stuck on a stalled tunnel: don't let interpreter
+        # shutdown join it forever — the headline is already out
+        os._exit(0)
 
 
 if __name__ == "__main__":
