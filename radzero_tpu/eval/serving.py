@@ -236,23 +236,29 @@ class ServingEngine:
 
     def _run_decode(self) -> None:
         """Stage 1: micro-batch assembly + host decode/resize."""
-        while not self._stop.is_set():
-            batch = self._collect()
-            if not batch:
-                continue
-            try:
-                imgs = np.stack(list(self._pool.map(self._preprocess, batch)))
-            except Exception as e:  # pragma: no cover - fault containment
-                for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
-                continue
-            self._ready.put((batch, imgs))
-        self._ready.put(None)  # shutdown sentinel
+        try:
+            while not self._stop.is_set():
+                batch = self._collect()
+                if not batch:
+                    continue
+                try:
+                    imgs = np.stack(list(self._pool.map(self._preprocess, batch)))
+                except Exception as e:  # pragma: no cover - fault containment
+                    for r in batch:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+                    continue
+                self._ready.put((batch, imgs))
+        finally:
+            self._ready.put(None)  # shutdown sentinel — always sent
 
     def _run_dispatch(self) -> None:
         """Stage 2: upload + device dispatch; resolves (device sync +
-        response assembly) run on the pool one batch behind."""
+        response assembly) run on the pool one batch behind.
+
+        Exits ONLY on the decode stage's sentinel: breaking on the stop
+        flag alone could race a decoded batch into ``_ready`` and leave
+        its futures unresolved forever."""
         pending = None  # (batch, device outputs)
         while True:
             try:
@@ -261,8 +267,6 @@ class ServingEngine:
                 if pending is not None:  # idle: flush the in-flight batch
                     self._pool.submit(self._resolve, *pending)
                     pending = None
-                if self._stop.is_set():
-                    break
                 continue
             if item is None:
                 break
@@ -354,7 +358,11 @@ class ServingEngine:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5)
-        self._dispatcher.join(timeout=10)
+        try:  # defensive second sentinel (idempotent); if the queue is
+            self._ready.put_nowait(None)  # full the dispatcher is draining
+        except queue.Full:  # and will reach the decode stage's sentinel
+            pass
+        self._dispatcher.join(timeout=15)
         # wait: in-flight _resolve tasks must finish before futures die
         self._pool.shutdown(wait=True)
 
