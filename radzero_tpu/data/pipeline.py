@@ -145,6 +145,32 @@ class TrainLoader:
             raise ValueError(f"process_index {process_index} not in [0, {process_count})")
         self.process_index = process_index
         self.process_count = process_count
+        if process_count > 1:
+            # Multi-host SPMD requires every process to jit the same
+            # shapes at the same global step. Per-batch length bucketing
+            # picks the bucket from the process-LOCAL longest sentence,
+            # so two processes could trim the text block differently —
+            # mismatched executables, hang or crash. Force the static
+            # max_text_tokens slot instead (process-independent).
+            if spec.text_length_buckets:
+                import dataclasses
+                import logging
+
+                logging.getLogger("radzero").warning(
+                    "text_length_buckets disabled: bucket choice is batch-"
+                    "content-dependent and process-local, which desyncs "
+                    "shapes across %d processes", process_count,
+                )
+                spec = dataclasses.replace(spec, text_length_buckets=())
+                self.spec = spec
+            # drop_last=False can give processes unequal batch counts
+            # (e.g. 9 records, 2 procs, bs 4 -> 2 vs 1 batches), desyncing
+            # collectives at the epoch tail.
+            if not drop_last:
+                raise ValueError(
+                    "process_count > 1 requires drop_last=True: unequal "
+                    "per-process batch counts desync collectives"
+                )
         if echo < 1:
             raise ValueError("echo must be >= 1")
         self.echo = echo

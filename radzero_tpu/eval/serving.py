@@ -365,6 +365,17 @@ class ServingEngine:
         self._dispatcher.join(timeout=15)
         # wait: in-flight _resolve tasks must finish before futures die
         self._pool.shutdown(wait=True)
+        # Requests still sitting in the submit queue were never picked up
+        # by the (now dead) decode stage — fail their futures so callers
+        # (e.g. EngineServer HTTP threads) don't block to their own
+        # request_timeout.
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(RuntimeError("engine shutting down"))
 
     def __enter__(self):
         return self

@@ -5,7 +5,10 @@ One kernel per image computes the whole SimilarityLogit pipeline
 
     tn     = rownorm(tokens_b)                  (VPU, fp32 accum)
     s      = qn @ tn^T / tau                    (MXU, fp32)
-    e      = exp2(s * log2 e)                   (|s| <= 1/tau: no max pass)
+    e      = exp(s - rowmax(s))                 (safe at any learned tau:
+                                                 the logit is 0-homogeneous
+                                                 in the aggregate, so the
+                                                 max shift cancels exactly)
     agg    = e @ tn                             (MXU; softmax denominator
                                                  cancels in the cosine)
     logits = (qn . agg) / |agg|                 (qn pre-normalised)
@@ -66,7 +69,12 @@ def _kernel(tau_ref, q_ref, t_ref, scores_ref, logits_ref, *, l_real: int):
 
     scores_ref[0] = s
 
-    e = jnp.exp2(s * _LOG2E)                              # bounded: |s| <= 1/tau
+    # Row-max shift before exp: tau is learned and unclamped, so |s| can
+    # exceed the fp32 exp range (tau < ~0.0114 overflows). The shift is
+    # exact — scaling e rowwise scales agg rowwise and the cosine below
+    # is scale-invariant.
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp2((s - m) * _LOG2E)
     agg = jnp.dot(e.astype(t.dtype), tn, preferred_element_type=jnp.float32)
     # cosine against the (unnormalised) aggregate: softmax denom cancels
     num = jnp.sum(qn.astype(jnp.float32) * agg, axis=-1)
@@ -148,7 +156,8 @@ def _kernel_fwd_logits(tau_ref, q_ref, t_ref, logits_ref, *, l_real: int):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < l_real, s, -jnp.inf)
 
-    e = jnp.exp2(s * _LOG2E)
+    m = jnp.max(s, axis=-1, keepdims=True)    # overflow-safe at any tau
+    e = jnp.exp2((s - m) * _LOG2E)
     agg = jnp.dot(e.astype(t.dtype), tn, preferred_element_type=jnp.float32)
     num = jnp.sum(qn.astype(jnp.float32) * agg, axis=-1)
     norm = jnp.sqrt(jnp.sum(agg * agg, axis=-1))
@@ -188,7 +197,13 @@ def _bwd_common(tau_ref, q_ref, t_ref, dz_ref, *, l_real: int):
     if masked:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < l_real, s, -jnp.inf)
-    e = jnp.exp2(s * _LOG2E)                      # exp(s); 0 at masked cols
+    # exp(s - rowmax): overflow-safe at any tau. All gradient formulas
+    # below are unchanged — z is 0-homogeneous in g, so dg.g == 0 and the
+    # rowmax's own derivative term vanishes identically; every use of e
+    # (ds = de*e, dtn += e^T dg) is consistent under the rowwise rescale
+    # because dg picks up the inverse factor through norm.
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp2((s - m) * _LOG2E)                # 0 at masked cols
 
     g = jnp.dot(e.astype(t.dtype), tn, preferred_element_type=jnp.float32)
     norm = jnp.maximum(jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True)), 1e-12)
@@ -215,9 +230,15 @@ def _kernel_bwd_dq(tau_ref, q_ref, t_ref, dz_ref, dq_ref, dtau_ref,
         tau_ref, q_ref, t_ref, dz_ref, l_real=l_real
     )
     # s = c/tau -> dtau = -sum(ds*c)/tau^2 = -sum(ds*s)/tau = -sum(dc*s)
-    # (dc = ds/tau). Masked cols have dc == 0 but s == -inf: zero them.
-    s_fin = jnp.where(jnp.isfinite(s), s, 0.0) if masked else s
-    dtau = -jnp.sum(dc * s_fin)
+    # (dc = ds/tau). Per-row sum(dc) == 0 exactly (dg.g == 0), so any
+    # per-row constant can be subtracted from s; using s - rowmax keeps
+    # the sum well-conditioned at tiny tau (|s| can reach ~1/tau, and
+    # dc is concentrated where s ~ rowmax). Masked cols have dc == 0 but
+    # s == -inf: zero them.
+    s_shift = s - jnp.max(s, axis=-1, keepdims=True)
+    if masked:
+        s_shift = jnp.where(jnp.isfinite(s), s_shift, 0.0)
+    dtau = -jnp.sum(dc * s_shift)
 
     dqn = (
         jnp.dot(dc.astype(tn.dtype), tn, preferred_element_type=jnp.float32)

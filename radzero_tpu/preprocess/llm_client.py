@@ -70,7 +70,20 @@ class OpenAIChatClient:
                 return body["choices"][0]["message"]["content"]
             except (urllib.error.URLError, urllib.error.HTTPError, OSError,
                     KeyError, json.JSONDecodeError) as e:
+                # Non-retryable client errors (bad auth, malformed request)
+                # fail immediately; only 429 rate limits are worth backoff.
+                if (
+                    isinstance(e, urllib.error.HTTPError)
+                    and 400 <= e.code < 500
+                    and e.code != 429
+                ):
+                    raise RuntimeError(
+                        f"LLM endpoint {url} rejected the request "
+                        f"(HTTP {e.code}, non-retryable)"
+                    ) from e
                 last_err = e
+                if attempt == self.transport_retries - 1:
+                    break  # no pointless sleep after the final attempt
                 wait = self.backoff_s * (2**attempt)
                 logger.info(
                     f"LLM endpoint error ({e!r}), retry "

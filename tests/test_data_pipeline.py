@@ -165,3 +165,42 @@ def test_data_echoing_repeats_batches():
             np.testing.assert_array_equal(
                 batches[k + j]["pixel_values"][:, 0, 0, 0], ids0
             )
+
+
+def test_multihost_disables_buckets_and_requires_drop_last():
+    """process_count > 1: per-batch length bucketing is process-local
+    (shape desync across hosts) so it is forced off; drop_last=False can
+    give processes unequal batch counts, so it is rejected."""
+    import pytest
+
+    from radzero_tpu.data.pipeline import PackSpec, TrainLoader
+    from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
+
+    tok = WhitespaceHashTokenizer(vocab_size=101, max_length=64)
+    recs = [
+        {"image": None, "key_phrases": ["short", "a much longer finding sentence here"]}
+        for _ in range(16)
+    ]
+    spec = PackSpec(max_sentences_per_image=2, max_text_tokens=64,
+                    text_length_buckets=(16, 32))
+
+    loader = TrainLoader(
+        recs, lambda r: np.zeros((8, 8, 3), np.float32), tok, 4, spec,
+        process_index=0, process_count=2,
+    )
+    assert loader.spec.text_length_buckets == ()  # forced off
+    batches = list(loader)
+    assert all(b["input_ids"].shape[1] == 64 for b in batches)
+
+    # single-process loaders keep bucketing
+    solo = TrainLoader(
+        recs, lambda r: np.zeros((8, 8, 3), np.float32), tok, 4, spec,
+    )
+    assert solo.spec.text_length_buckets == (16, 32)
+
+    with pytest.raises(ValueError, match="drop_last"):
+        TrainLoader(
+            recs, lambda r: np.zeros((8, 8, 3), np.float32), tok, 4,
+            PackSpec(max_sentences_per_image=2, max_text_tokens=64),
+            process_index=0, process_count=2, drop_last=False,
+        )

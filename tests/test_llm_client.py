@@ -12,6 +12,7 @@ from radzero_tpu.preprocess.llm_client import OpenAIChatClient
 
 class _Handler(BaseHTTPRequestHandler):
     fail_first = 0  # transport failures before succeeding
+    fail_code = 500
     requests_seen = []
 
     def do_POST(self):  # noqa: N802
@@ -20,7 +21,7 @@ class _Handler(BaseHTTPRequestHandler):
         cls.requests_seen.append(body)
         if cls.fail_first > 0:
             cls.fail_first -= 1
-            self.send_response(500)
+            self.send_response(cls.fail_code)
             self.end_headers()
             return
         user = body["messages"][1]["content"]
@@ -43,6 +44,7 @@ class _Handler(BaseHTTPRequestHandler):
 @pytest.fixture
 def mock_server():
     _Handler.fail_first = 0
+    _Handler.fail_code = 500
     _Handler.requests_seen = []
     srv = HTTPServer(("127.0.0.1", 0), _Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -65,6 +67,36 @@ def test_chat_client_transport_retry(mock_server):
     client = OpenAIChatClient(mock_server, transport_retries=3, backoff_s=0.01)
     raw = client("s", "u")
     assert "consolidation" in raw
+
+
+def test_chat_client_4xx_fails_fast(mock_server):
+    """Non-429 client errors (bad auth, malformed request) are not
+    retryable: fail immediately instead of burning backoff."""
+    _Handler.fail_first = 5
+    _Handler.fail_code = 401
+    try:
+        client = OpenAIChatClient(mock_server, transport_retries=5, backoff_s=10.0)
+        import time
+
+        t0 = time.perf_counter()
+        with pytest.raises(RuntimeError, match="non-retryable"):
+            client("s", "u")
+        assert time.perf_counter() - t0 < 5.0  # no 10s backoff sleeps
+        assert _Handler.fail_first == 4  # exactly one request sent
+    finally:
+        _Handler.fail_code = 500
+
+
+def test_chat_client_no_sleep_after_final_attempt(mock_server):
+    _Handler.fail_first = 10  # always 500
+    client = OpenAIChatClient(mock_server, transport_retries=2, backoff_s=0.2)
+    import time
+
+    t0 = time.perf_counter()
+    with pytest.raises(RuntimeError, match="failed after"):
+        client("s", "u")
+    # one sleep (0.2s) between the two attempts, none after the last
+    assert time.perf_counter() - t0 < 2.0
 
 
 def test_end_to_end_extraction_with_http_client(mock_server, tmp_path):

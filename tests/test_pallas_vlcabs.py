@@ -164,3 +164,53 @@ def test_forward_train_uses_fused_kernel_and_matches_xla():
     flat_f, _ = ravel_pytree(g_fused)
     flat_x, _ = ravel_pytree(g_xla)
     np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_x), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_stable_at_tiny_temperature():
+    """Learned tau is unclamped; contrastive training can drive it toward
+    ~0.01 (CLIP clamps for this reason). Before the row-max shift,
+    exp(s) with |s| <= 1/tau overflowed fp32 at tau < ~0.0114, NaN-ing
+    logits and gradients mid-training. Both fused kernels must now match
+    the (softmax-stable) xla path at any tau."""
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((5, 64)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((3, 37, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((5, 3)), jnp.float32)
+
+    for tau_v in (0.008, 0.002):
+        tau = jnp.asarray(tau_v, jnp.float32)
+        # forward/serving kernel
+        ref_logits, ref_scores = vlcabs_similarity(
+            q, t, sim_op="cos", temperature=tau, need_scores=True, impl="xla"
+        )
+        out_logits, out_scores = vlcabs_similarity(
+            q, t, sim_op="cos", temperature=tau, need_scores=True, impl="fused"
+        )
+        assert np.isfinite(np.asarray(out_logits)).all()
+        np.testing.assert_allclose(
+            np.asarray(out_logits), np.asarray(ref_logits), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_scores), np.asarray(ref_scores), rtol=1e-4, atol=1e-4
+        )
+
+        # training kernel: forward + all three grads finite and matching
+        def loss(q, t, tau, impl):
+            logits, _ = vlcabs_similarity(
+                q, t, sim_op="cos", temperature=tau, impl=impl
+            )
+            return jnp.sum(w * logits)
+
+        ref_val, ref_grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            q, t, tau, "xla"
+        )
+        out_val, out_grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            q, t, tau, "fused_train"
+        )
+        np.testing.assert_allclose(out_val, ref_val, rtol=1e-5, atol=1e-6)
+        for og, rg, name in zip(out_grads, ref_grads, ("dq", "dt", "dtau")):
+            assert np.isfinite(np.asarray(og)).all(), f"{name} not finite"
+            np.testing.assert_allclose(
+                np.asarray(og), np.asarray(rg), rtol=1e-4, atol=1e-5,
+                err_msg=f"{name} mismatch at tau={tau_v}",
+            )

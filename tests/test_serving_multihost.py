@@ -273,3 +273,29 @@ def test_serving_engine_with_mesh_matches_single_device():
         np.testing.assert_allclose(
             a["similarity_maps"], b["similarity_maps"], rtol=1e-4, atol=1e-4
         )
+
+
+def test_close_fails_queued_futures_promptly():
+    """close() must not abandon requests still sitting in the submit
+    queue: their futures get an 'engine shutting down' error instead of
+    blocking callers until their own request_timeout."""
+    params = init_radzero(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    engine = ServingEngine(
+        params, CFG, BlipStyleImageProcessor(size=28),
+        WhitespaceHashTokenizer(vocab_size=5003, max_length=10),
+        max_batch=4, max_delay_ms=20, dtype=jnp.float32,
+    )
+    engine.register_prompt_set("cls", ["There is Edema"])
+    # Stop the decode stage first so the submissions below stay queued.
+    engine._stop.set()
+    engine._worker.join(timeout=10)
+    futs = [
+        engine.submit(rng.integers(0, 256, (28, 28, 3), dtype=np.uint8), "cls")
+        for _ in range(3)
+    ]
+    engine.close()
+    for f in futs:
+        with np.testing.assert_raises(RuntimeError):
+            f.result(timeout=5)
+        assert isinstance(f.exception(timeout=0), RuntimeError)
