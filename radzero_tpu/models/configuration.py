@@ -96,6 +96,7 @@ class TextConfig:
     pad_token_id: int = 1
     use_cls_token: bool = False       # False -> masked mean pooling (ref radzero.yaml:27)
     use_text_projection: bool = False # optional Linear(text_dim -> 2*hidden) (modeling.py:69-72)
+    attn_impl: str = "flash"          # flash (Pallas, bias-capable) | xla (eager einsum)
 
     @property
     def head_dim(self) -> int:

@@ -127,11 +127,21 @@ def create_position_ids(input_ids: jnp.ndarray, padding_idx: int) -> jnp.ndarray
     return incremental + padding_idx
 
 
-def mpnet_layer(x, p, bias, cfg: TextConfig):
+def mpnet_layer(x, p, rel, neg, cfg: TextConfig):
+    """``rel``: (H, L, L) relative-position score bias (shared across the
+    batch); ``neg``: (S, L) additive key-padding mask (0 real / -big pad)."""
     q = split_heads(linear(x, p["attn"]["q"]), cfg.num_attention_heads)
     k = split_heads(linear(x, p["attn"]["k"]), cfg.num_attention_heads)
     v = split_heads(linear(x, p["attn"]["v"]), cfg.num_attention_heads)
-    a = merge_heads(attention(q, k, v, bias=bias, scale=cfg.head_dim**-0.5))
+    if cfg.attn_impl == "flash":
+        from radzero_tpu.ops.flash_attention import flash_attention_bias
+
+        a = merge_heads(
+            flash_attention_bias(q, k, v, rel, neg, cfg.head_dim**-0.5)
+        )
+    else:
+        bias = rel[None].astype(x.dtype) + neg[:, None, None, :].astype(x.dtype)
+        a = merge_heads(attention(q, k, v, bias=bias, scale=cfg.head_dim**-0.5))
     a = linear(a, p["attn"]["o"])
     x = layer_norm(x + a, p["ln_attn"], cfg.layer_norm_eps)
 
@@ -160,21 +170,25 @@ def mpnet_forward(
     buckets = jnp.asarray(
         relative_position_bucket_table(seq_len, cfg.relative_attention_num_buckets)
     )
-    # (L, L, H) -> (1, H, L, L): shared position bias for every layer
-    rel = jnp.take(params["rel_bias"].astype(dtype), buckets, axis=0)
-    rel = rel.transpose(2, 0, 1)[None]
+    # (L, L, H) -> (H, L, L): shared position bias for every layer. Kept
+    # fp32 and SEPARATE from the per-row key mask — the flash kernel takes
+    # them as two operands so the (S, H, L, L) broadcast sum never
+    # materialises in HBM (xla path rebuilds it per layer, fused by XLA).
+    rel = jnp.take(params["rel_bias"].astype(jnp.float32), buckets, axis=0)
+    rel = rel.transpose(2, 0, 1)
+    if dtype != jnp.float32:
+        rel = rel.astype(dtype).astype(jnp.float32)  # bf16 value parity
 
     # additive key-padding mask (HF get_extended_attention_mask semantics)
-    neg = jnp.finfo(jnp.float32 if dtype == jnp.float32 else dtype).min
-    key_mask = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * neg
-    bias = rel + key_mask.astype(dtype)
+    neg_v = jnp.finfo(jnp.float32 if dtype == jnp.float32 else dtype).min
+    neg = (1.0 - attention_mask.astype(jnp.float32)) * neg_v  # (S, L)
 
     layer_fn = mpnet_layer
     if remat:
-        layer_fn = jax.checkpoint(mpnet_layer, static_argnums=(3,))
+        layer_fn = jax.checkpoint(mpnet_layer, static_argnums=(4,))
 
     def body(h, layer_params):
-        return layer_fn(h, layer_params, bias, cfg), None
+        return layer_fn(h, layer_params, rel, neg, cfg), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x

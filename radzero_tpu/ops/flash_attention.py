@@ -192,7 +192,7 @@ def _fwd(q, k, v, scale, stable, kv_len):
     return _forward(q, k, v, scale, stable, kv_len), (q, k, v)
 
 
-def _bwd(scale, stable, kv_len, residuals, g):
+def _unbiased_bwd(scale, stable, kv_len, residuals, g):
     q, k, v = residuals
     b, l, h, hd = q.shape
     if scale is None:
@@ -245,4 +245,242 @@ def _bwd(scale, stable, kv_len, residuals, g):
     return from_bh(dq, q.dtype), from_bh(dk, k.dtype), from_bh(dv, v.dtype)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+flash_attention.defvjp(_fwd, _unbiased_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Bias-capable variant (MPNet: T5-style relative-position bias shared across
+# the batch + per-row key-padding mask; ref exp/cxr_pt/model/losses.py:135-147
+# is the text hot loop, HF MPNetEncoder adds position_bias every layer)
+# ---------------------------------------------------------------------------
+
+def _kernel_b(q_ref, k_ref, v_ref, bias_ref, neg_ref, o_ref,
+              *, scale: float, l_real: int, stable: bool):
+    q = q_ref[0]          # (block_q, hd)
+    k = k_ref[0]          # (l_pad, hd)
+    v = v_ref[0]
+    bias = bias_ref[0]    # (block_q, l_pad) fp32
+    neg = neg_ref[0]      # (1, l_pad) fp32 additive key mask (0 / -big)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + bias + neg                                # raw scores
+    s = s * _LOG2E
+    l_pad = k.shape[0]
+    if l_real < l_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < l_real, s, -jnp.inf)
+    if stable:
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp2(s)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    num = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (num / den).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention_bias(
+    q: jnp.ndarray,        # (B, L, H, hd)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,     # (H, L, L) additive score bias, shared across batch
+    neg_mask: jnp.ndarray, # (B, L) additive key mask: 0 real / big-negative pad
+    scale: Optional[float] = None,
+    stable: Optional[bool] = None,
+    kv_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Flash attention with a batch-shared additive bias (differentiable:
+    the backward kernel accumulates d(bias) over the batch in VMEM) and a
+    per-row additive key-padding mask (gradient identically zero — masked
+    columns carry zero probability, so zeros are returned for it).
+
+    softmax(q k^T * scale + bias + neg_mask) v, fp32 scores.
+    """
+    return _forward_b(q, k, v, bias, neg_mask, scale, stable, kv_len)
+
+
+def _forward_b(q, k, v, bias, neg_mask, scale, stable=None, kv_len=None):
+    b, l, h, hd = q.shape
+    if scale is None:
+        scale = hd**-0.5
+    if stable is None:
+        stable = q.dtype == jnp.float32
+    l_real = kv_len if kv_len is not None else l
+    l_pad = _pad_len(l)
+    block_q = _pick_block_q(l_pad)
+
+    def to_bh(x):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, l, hd)
+        if l_pad != l:
+            x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        return x
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    bias_p = bias.astype(jnp.float32)
+    if l_pad != l:
+        bias_p = jnp.pad(bias_p, ((0, 0), (0, l_pad - l), (0, l_pad - l)))
+    neg_p = neg_mask.astype(jnp.float32)
+    if l_pad != neg_p.shape[1]:
+        neg_p = jnp.pad(neg_p, ((0, 0), (0, l_pad - neg_p.shape[1])))
+    neg_p = neg_p[:, None, :]  # (B, 1, l_pad): TPU-tileable block shape
+
+    grid = (b * h, l_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_kernel_b, scale=float(scale), l_real=l_real, stable=stable),
+        out_shape=jax.ShapeDtypeStruct((b * h, l_pad, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, l_pad), lambda i, j: (i % h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l_pad), lambda i, j: (i // h, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=jax.default_backend() == "cpu",
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * l_pad * l_pad * hd,
+            bytes_accessed=(4 * b * h * l_pad * hd) * q.dtype.itemsize
+            + h * l_pad * l_pad * 4,
+            transcendentals=b * h * l_pad * l_pad,
+        ),
+    )(qb, kb, vb, bias_p, neg_p)
+
+    out = out[:, :l].reshape(b, h, l, hd).transpose(0, 2, 1, 3)
+    return out
+
+
+def _bwd_kernel_b(q_ref, k_ref, v_ref, bias_ref, neg_ref, do_ref,
+                  dq_ref, dk_ref, dv_ref, dbias_ref,
+                  *, scale: float, l_real: int):
+    """Grid (H, B) — batch innermost: the d(bias) block for head h
+    accumulates across consecutive batch steps (legal on TPU's
+    sequential grid); dq/dk/dv blocks are written once each. Requires
+    the full sequence in one q block (text towers: L <= 128 after lane
+    padding), so no inner q-block loop exists."""
+    bi = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0]
+    neg = neg_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + bias + neg
+    s = s * _LOG2E
+    l_pad = k.shape[0]
+    if l_real < l_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < l_real, s, -jnp.inf)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp2(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    pc = p.astype(v.dtype)
+    dv = jax.lax.dot_general(pc, do.astype(v.dtype), (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # d(raw scores) — bias is added unscaled, so dbias = ds0 directly
+    ds0 = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsc = (ds0 * scale).astype(q.dtype)
+    dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(dsc, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(bi == 0)
+    def _init():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    dbias_ref[0] += ds0
+
+
+def _fwd_b(q, k, v, bias, neg_mask, scale, stable, kv_len):
+    return _forward_b(q, k, v, bias, neg_mask, scale, stable, kv_len), (
+        q, k, v, bias, neg_mask,
+    )
+
+
+def _bwd_b(scale, stable, kv_len, residuals, g):
+    q, k, v, bias, neg_mask = residuals
+    b, l, h, hd = q.shape
+    if scale is None:
+        scale = hd**-0.5
+    l_real = kv_len if kv_len is not None else l
+    l_pad = _pad_len(l)
+    if l_pad > 1024:
+        raise NotImplementedError(
+            "flash_attention_bias backward holds the full sequence in one "
+            f"q block; L={l} (padded {l_pad}) exceeds 1024"
+        )
+
+    def to_bh(x):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, l, hd)
+        if l_pad != l:
+            x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        return x
+
+    qb, kb, vb, dob = to_bh(q), to_bh(k), to_bh(v), to_bh(g)
+    bias_p = bias.astype(jnp.float32)
+    if l_pad != l:
+        bias_p = jnp.pad(bias_p, ((0, 0), (0, l_pad - l), (0, l_pad - l)))
+    neg_p = neg_mask.astype(jnp.float32)
+    if l_pad != neg_p.shape[1]:
+        neg_p = jnp.pad(neg_p, ((0, 0), (0, l_pad - neg_p.shape[1])))
+    neg_p = neg_p[:, None, :]  # (B, 1, l_pad): TPU-tileable block shape
+
+    grid = (h, b)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel_b, scale=float(scale), l_real=l_real),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, l_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b * h, l_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, l_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((h, l_pad, l_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, l_pad, hd), lambda hi, bi: (bi * h + hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda hi, bi: (bi * h + hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda hi, bi: (bi * h + hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, l_pad), lambda hi, bi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l_pad), lambda hi, bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda hi, bi: (bi * h + hi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, l_pad, hd), lambda hi, bi: (bi * h + hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda hi, bi: (bi * h + hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, hd), lambda hi, bi: (bi * h + hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, l_pad), lambda hi, bi: (hi, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=jax.default_backend() == "cpu",
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * l_pad * l_pad * hd,
+            bytes_accessed=6 * b * h * l_pad * hd * q.dtype.itemsize
+            + 2 * h * l_pad * l_pad * 4,
+            transcendentals=b * h * l_pad * l_pad,
+        ),
+    )(qb, kb, vb, bias_p, neg_p, dob)
+
+    def from_bh(x, dtype):
+        x = x[:, :l].reshape(b, h, l, hd).transpose(0, 2, 1, 3)
+        return x.astype(dtype)
+
+    return (
+        from_bh(dq, q.dtype),
+        from_bh(dk, k.dtype),
+        from_bh(dv, v.dtype),
+        dbias[:, :l, :l].astype(bias.dtype),
+        jnp.zeros_like(neg_mask),  # masked columns carry zero probability
+    )
+
+
+flash_attention_bias.defvjp(_fwd_b, _bwd_b)

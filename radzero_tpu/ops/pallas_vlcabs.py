@@ -44,6 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 _LOG2E = 1.4426950408889634
 
+# Mosaic's default scoped-VMEM budget is 16 MB; the serving kernel's
+# working set (fp32 token block + rownorm copy + score block at the
+# flagship 1369-token/768-d shapes) sits right at that edge. v5e/v6e
+# have 128 MB VMEM per core — give the kernels proper headroom.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 
 def _pad_to(n: int, m: int) -> int:
     return (n + m - 1) // m * m
@@ -122,6 +129,7 @@ def vlcabs_fused(
             pl.BlockSpec((1, 8, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=jax.default_backend() == "cpu",
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_pad * l_pad * d,
             bytes_accessed=(b * l_pad * d + n_pad * d) * tokens.dtype.itemsize
@@ -310,6 +318,7 @@ def _train_forward(queries_normed, tokens, tau):
         ],
         out_specs=pl.BlockSpec((1, 8, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=jax.default_backend() == "cpu",
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_pad * l_pad * d,
             bytes_accessed=(b * l_pad * d + n_pad * d) * tokens.dtype.itemsize
@@ -387,6 +396,7 @@ def _train_bwd(residuals, g):
             pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=common_cost,
     )(tau_arr, q, t, dz)
 
@@ -404,6 +414,7 @@ def _train_bwd(residuals, g):
             (1, l_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=common_cost,
     )(tau_arr, q, t, dz)
 

@@ -78,6 +78,38 @@ def test_convert_tool_cli_roundtrip(tmp_path):
     assert "converted radzero" in res.stdout
     assert os.path.isdir(dst / "state")
 
+
+def test_convert_tool_carries_vocab(tmp_path):
+    """vocab.txt next to the source weights lands in the output dir, so
+    load_tokenizer(dst) resolves the first-party WordPieceTokenizer."""
+    from safetensors.numpy import save_file
+
+    sd = _fake_reference_state_dict()
+    src = tmp_path / "src"
+    src.mkdir()
+    save_file(sd, str(src / "model.safetensors"))
+    vocab = ["<s>", "<pad>", "</s>", "[UNK]", "there", "is", "effusion"]
+    (src / "vocab.txt").write_text("\n".join(vocab) + "\n", encoding="utf-8")
+
+    dst = tmp_path / "dst"
+    dst.mkdir()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, "tools/convert_checkpoint.py", "--src", str(src),
+         "--dst", str(dst), "--kind", "radzero"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr
+    assert (dst / "vocab.txt").read_text(encoding="utf-8").splitlines() == vocab
+
+    from radzero_tpu.data.tokenizer import WordPieceTokenizer, load_tokenizer
+
+    tok = load_tokenizer(str(dst), max_length=8)
+    assert isinstance(tok, WordPieceTokenizer)
+    ids, mask = tok(["there is effusion"])
+    assert ids[0, 0] == 0 and ids[0, mask[0].sum() - 1] == 2
+
     # restorable into a matching pytree
     from radzero_tpu.train.checkpoint import restore_checkpoint
 

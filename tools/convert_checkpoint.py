@@ -106,8 +106,27 @@ def convert(src: str, dst: str, kind: str) -> None:
     ckptr.save(os.path.join(os.path.abspath(dst), "state"), params)
     ckptr.wait_until_finished()
 
+    # carry the tokenizer vocabulary along so the serving/eval runtime
+    # resolves the first-party WordPieceTokenizer (no transformers needed)
+    src_dir = src if os.path.isdir(src) else os.path.dirname(src)
+    vocab_src = os.path.join(src_dir, "vocab.txt")
+    if os.path.exists(vocab_src):
+        import shutil
+
+        shutil.copyfile(vocab_src, os.path.join(dst, "vocab.txt"))
+    else:
+        try:  # tokenizer.json-only snapshots: extract via transformers
+            from transformers import AutoTokenizer
+
+            from radzero_tpu.data.tokenizer import dump_hf_vocab
+
+            tok = AutoTokenizer.from_pretrained(src_dir, local_files_only=True)
+            dump_hf_vocab(tok, os.path.join(dst, "vocab.txt"))
+        except Exception:
+            pass
+
     # carry image-processor statistics along when available
-    pc = os.path.join(src if os.path.isdir(src) else os.path.dirname(src), "preprocessor_config.json")
+    pc = os.path.join(src_dir, "preprocessor_config.json")
     if os.path.exists(pc):
         with open(pc) as f:
             conf = json.load(f)
