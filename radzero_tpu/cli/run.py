@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import os
 
+import jax
 import jax.numpy as jnp
 
 from radzero_tpu.config.config import Config, str2bool
@@ -174,13 +175,27 @@ def main() -> None:
             params, model_cfg, image_processor, tokenizer,
             batch_size=cfg["inference"]["batch_size"], dtype=jnp.float32,
         )
-        inference = Inference(
-            cfg["inference"]["cls_dataset"],
-            cfg["inference"]["det_dataset"],
-            cfg["inference"]["seg_dataset"],
-            cfg["dataset"]["data_root"],
-            batch_size=cfg["inference"]["batch_size"],
-        )
+        # Multi-process runs shard the dataset registry across processes
+        # and merge result.json on process 0 (fixes the reference's
+        # rank-0-serial eval quirk, SURVEY.md §7 / ref run.py:123-169).
+        if jax.process_count() > 1:
+            from radzero_tpu.eval.distributed import DistributedInference
+
+            inference = DistributedInference(
+                cfg["inference"]["cls_dataset"],
+                cfg["inference"]["det_dataset"],
+                cfg["inference"]["seg_dataset"],
+                cfg["dataset"]["data_root"],
+                batch_size=cfg["inference"]["batch_size"],
+            )
+        else:
+            inference = Inference(
+                cfg["inference"]["cls_dataset"],
+                cfg["inference"]["det_dataset"],
+                cfg["inference"]["seg_dataset"],
+                cfg["dataset"]["data_root"],
+                batch_size=cfg["inference"]["batch_size"],
+            )
         save_dir = os.path.join(output_dir, "inference")
         inference.classification(
             scorer, os.path.join(save_dir, "classification"),

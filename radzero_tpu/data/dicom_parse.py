@@ -7,6 +7,8 @@ Covers the subset the reference's eval datasets actually use
 - Explicit & Implicit VR Little Endian transfer syntaxes
 - JPEG-Baseline encapsulated pixel data (1.2.840.10008.1.2.4.50),
   decoded through the native libjpeg path (data/native.py) or PIL
+- JPEG 2000 (1.2.840.10008.1.2.4.90/.91) via PIL's OpenJPEG binding
+- RLE Lossless (1.2.840.10008.1.2.5): built-in PackBits plane decode
 - MONOCHROME1/2 photometric interpretation, 8/16-bit, signed/unsigned,
   defined- and undefined-length sequences (skipped)
 
@@ -25,7 +27,12 @@ import numpy as np
 _IMPLICIT_LE = "1.2.840.10008.1.2"
 _EXPLICIT_LE = "1.2.840.10008.1.2.1"
 _JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
-_SUPPORTED = (_IMPLICIT_LE, _EXPLICIT_LE, _JPEG_BASELINE)
+_J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"
+_J2K = "1.2.840.10008.1.2.4.91"
+_RLE = "1.2.840.10008.1.2.5"
+_SUPPORTED = (
+    _IMPLICIT_LE, _EXPLICIT_LE, _JPEG_BASELINE, _J2K_LOSSLESS, _J2K, _RLE
+)
 
 # VRs with a 2-byte reserved field and 4-byte length in explicit VR
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
@@ -147,6 +154,68 @@ def _decode_jpeg_fragment(data: bytes) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(data)))
 
 
+def _decode_j2k_fragment(data: bytes) -> np.ndarray:
+    """JPEG 2000 codestream/JP2 via PIL's OpenJPEG binding (the SIIM/RSNA
+    sets are conventionally J2K-heavy in the wild; ref
+    segmentation_utils.py:125-133 reads them through pydicom)."""
+    import io
+
+    from PIL import Image, features
+
+    if not features.check("jpg_2000"):  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "JPEG 2000 pixel data needs PIL built with OpenJPEG "
+            "(pip install pillow with libopenjp2), or install "
+            "pydicom + pylibjpeg-openjpeg and read via pydicom"
+        )
+    return np.asarray(Image.open(io.BytesIO(data)))
+
+
+def _packbits(data: bytes) -> bytes:
+    """PackBits decode (DICOM PS3.5 Annex G.3.1)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 128:                       # literal run of ctrl+1 bytes
+            out += data[i : i + ctrl + 1]
+            i += ctrl + 1
+        elif ctrl > 128:                     # replicate next byte 257-ctrl
+            if i < n:
+                out += bytes([data[i]]) * (257 - ctrl)
+                i += 1
+        # ctrl == 128: no-op
+    return bytes(out)
+
+
+def _decode_rle_frame(frag: bytes, rows: int, cols: int, bits: int,
+                      spp: int, signed: bool) -> np.ndarray:
+    """RLE Lossless frame (PS3.5 Annex G): a 64-byte header of up to 15
+    segment offsets, each segment a PackBits-compressed byte plane;
+    planes compose big-endian per sample."""
+    header = struct.unpack("<16I", frag[:64])
+    nseg = header[0]
+    bps = bits // 8
+    if nseg != spp * bps:
+        raise ValueError(f"RLE header advertises {nseg} segments, "
+                         f"expected {spp}*{bps}")
+    offsets = list(header[1 : 1 + nseg]) + [len(frag)]
+    npix = rows * cols
+    out = np.zeros((spp, npix), np.uint16 if bps == 2 else np.uint8)
+    for s in range(spp):
+        for b in range(bps):  # b=0 is the most significant byte plane
+            seg = np.frombuffer(
+                _packbits(frag[offsets[s * bps + b] : offsets[s * bps + b + 1]]),
+                np.uint8, count=npix,
+            )
+            out[s] |= seg.astype(out.dtype) << (8 * (bps - 1 - b))
+    if signed:
+        out = out.astype(np.int16 if bps == 2 else np.int8)
+    arr = out.reshape(spp, rows, cols)
+    return arr[0] if spp == 1 else np.moveaxis(arr, 0, -1)
+
+
 def dicom_read(path: str) -> Tuple[np.ndarray, Dict]:
     """Parse a DICOM file -> (pixel array (H, W) or (H, W, C), attrs)."""
     attrs: Dict = {}
@@ -170,15 +239,30 @@ def dicom_read(path: str) -> Tuple[np.ndarray, Dict]:
 
         ts = attrs.get("TransferSyntaxUID", _IMPLICIT_LE)
         if ts not in _SUPPORTED:
-            raise NotImplementedError(f"transfer syntax {ts!r} unsupported")
+            raise NotImplementedError(
+                f"transfer syntax {ts!r} unsupported by the built-in reader "
+                "(handles LE, JPEG-baseline, JPEG 2000, RLE); install "
+                "pydicom + pylibjpeg plugins for other syntaxes"
+            )
         explicit = ts != _IMPLICIT_LE
         _parse_elements(f, explicit, stop_at_pixeldata=True, attrs=attrs)
 
     if "PixelDataFragments" in attrs:
         frags = attrs["PixelDataFragments"]
         # first fragment is the Basic Offset Table (may be empty)
-        jpeg = b"".join(frags[1:]) if len(frags) > 1 else frags[0]
-        arr = _decode_jpeg_fragment(jpeg)
+        payload = b"".join(frags[1:]) if len(frags) > 1 else frags[0]
+        if ts == _RLE:
+            arr = _decode_rle_frame(
+                frags[1] if len(frags) > 1 else frags[0],
+                attrs["Rows"], attrs["Columns"],
+                attrs.get("BitsAllocated", 8),
+                attrs.get("SamplesPerPixel", 1),
+                attrs.get("PixelRepresentation", 0) == 1,
+            )
+        elif ts in (_J2K_LOSSLESS, _J2K):
+            arr = _decode_j2k_fragment(payload)
+        else:
+            arr = _decode_jpeg_fragment(payload)
         if arr.ndim == 3 and attrs.get("SamplesPerPixel", 1) == 1:
             arr = arr[..., 0]
         return arr, attrs

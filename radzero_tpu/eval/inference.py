@@ -35,6 +35,7 @@ class Inference:
         data_root_dir: str,
         batch_size: int = 64,
         num_workers: int = 8,
+        write_result_json: bool = True,
     ):
         self.cls_dataset = cls_dataset
         self.det_dataset = det_dataset
@@ -42,6 +43,10 @@ class Inference:
         self.data_root_dir = data_root_dir
         self.batch_size = batch_size
         self.num_workers = num_workers
+        # distributed driver (eval/distributed.py) turns this off: each
+        # rank publishes an atomic result.part{k}.json instead, and rank 0
+        # writes the merged result.json
+        self.write_result_json = write_result_json
 
     # ------------------------------------------------------------------
     def classification(
@@ -56,7 +61,8 @@ class Inference:
                 scorer, self.cls_dataset, image_paths, text_paths,
                 self.data_root_dir, save_root_dir, compute_metric=compute_metric,
             )
-            save_json(performances, os.path.join(save_root_dir, "result.json"))
+            if self.write_result_json:
+                save_json(performances, os.path.join(save_root_dir, "result.json"))
             return performances
         except Exception as e:
             logger.error(f"Error in zero shot classification: {e}\n{traceback.format_exc()}")
@@ -82,7 +88,8 @@ class Inference:
                     result["MS-CXR"] = eval_refer_grounding(
                         scorer, data, self.data_root_dir
                     )
-            save_json(result, os.path.join(save_root_dir, "result.json"))
+            if self.write_result_json:
+                save_json(result, os.path.join(save_root_dir, "result.json"))
             return result
         except Exception as e:
             logger.error(f"Error in zero shot grounding: {e}\n{traceback.format_exc()}")
@@ -112,7 +119,8 @@ class Inference:
                         scorer, data, "There is Pneumonia",
                         self.data_root_dir, compute_pixel_level_auroc,
                     )
-            save_json(result, os.path.join(save_root_dir, "result.json"))
+            if self.write_result_json:
+                save_json(result, os.path.join(save_root_dir, "result.json"))
             return result
         except Exception as e:
             logger.error(f"Error in zero shot segmentation: {e}\n{traceback.format_exc()}")

@@ -121,13 +121,23 @@ def test_cli_train_and_eval(workspace):
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        # The child's first jit (interpret-mode Pallas on CPU) has stalled
+        # past 600 s under full-suite host contention (judged flaky in r2):
+        # cache compiles across runs and keep a generous margin.
+        JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache"),
     )
+    import time
+
+    t0 = time.monotonic()
     res = subprocess.run(
         [sys.executable, "-m", "radzero_tpu.cli.run", "--cfg_path", str(cfg_path),
          "--train", "true", "--inference", "true", "--no_report"],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
     )
-    assert res.returncode == 0, res.stderr[-3000:]
+    elapsed = time.monotonic() - t0
+    assert res.returncode == 0, (
+        f"rc={res.returncode} after {elapsed:.0f}s\n" + res.stderr[-3000:]
+    )
 
     out_dir = root / "out" / "pt" / "debug" / "smoke"
     assert (out_dir / "output.log").exists()

