@@ -36,6 +36,7 @@ class ZeroShotScorer:
         num_threads: int = 8,
         mesh=None,
         device_normalize: bool = False,
+        fused_tower: bool = True,
     ):
         """``mesh``: optional device mesh — batches shard over its 'data'
         axis so eval scales across chips (vs the reference's single-GPU
@@ -45,7 +46,20 @@ class ZeroShotScorer:
         device (4x less host->device transfer; bit-identical for
         Blip-geometry processors — the host pipeline also round-trips
         through u8 after the resize). Default off: the fp32 host path is
-        the reference-parity eval protocol."""
+        the reference-parity eval protocol.
+
+        ``fused_tower``: run the vision + align towers through the
+        Pallas-fused serving layers (ops/fused_layer.py) — forward-only,
+        numerically equivalent (tests/test_fused_layer.py), faster on
+        chip. Inference never differentiates, so this is safe here."""
+        if fused_tower:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg,
+                vision=dataclasses.replace(cfg.vision, attn_impl="fused"),
+                align=dataclasses.replace(cfg.align, attn_impl="fused"),
+            )
         self.cfg = cfg
         self.image_processor = image_processor
         self.tokenizer = tokenizer

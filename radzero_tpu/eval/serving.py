@@ -86,6 +86,7 @@ class ServingEngine:
         channels: int = 3,
         aot_runner=None,
         mesh=None,
+        fused_tower: bool = True,
     ):
         """``device_normalize``: split the image pipeline — host does
         decode+resize to u8 only, device does rescale+normalise (bit-
@@ -98,7 +99,17 @@ class ServingEngine:
         (CXRs) — 3x fewer host->device bytes; the luma plane is
         broadcast to RGB on device before normalisation. Exact for
         grayscale JPEGs (the Y plane IS the pixel data); requires
-        device_normalize."""
+        device_normalize.
+        ``fused_tower``: Pallas-fused forward-only vision/align layers
+        (ops/fused_layer.py) — serving never differentiates."""
+        if fused_tower and cfg is not None:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg,
+                vision=dataclasses.replace(cfg.vision, attn_impl="fused"),
+                align=dataclasses.replace(cfg.align, attn_impl="fused"),
+            )
         self.cfg = cfg
         self.image_processor = image_processor
         self.tokenizer = tokenizer

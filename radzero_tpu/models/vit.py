@@ -144,11 +144,52 @@ def vit_embed(params: dict, cfg: ViTConfig, pixel_values: jnp.ndarray, dtype) ->
     return x + pos.astype(dtype)
 
 
+def dinov2_layer_fused(
+    x: jnp.ndarray, p: dict, cfg: ViTConfig, real_len: int = None
+) -> jnp.ndarray:
+    """Serving-path block: Pallas-fused ln1+packed-QKV and
+    proj+residual+ln2+MLP+residual around the flash attention kernel
+    (ops/fused_layer.py). FORWARD-ONLY — no VJP; the trainable align
+    layers must use 'flash'/'xla'. Numerically equivalent to
+    :func:`dinov2_layer` (fp32 LN/GELU, bf16 MXU operands)."""
+    from radzero_tpu.ops.fused_layer import (
+        flash_attention_packed,
+        fused_postattn,
+        fused_preattn,
+    )
+
+    b, l, d = x.shape
+    x2 = x.reshape(b * l, d)
+    a = p["attn"]
+    wqkv = jnp.concatenate(
+        [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
+    )
+    bqkv = jnp.concatenate([a["q"]["bias"], a["k"]["bias"], a["v"]["bias"]])
+    qkv = fused_preattn(
+        x2, p["ln1"]["scale"], p["ln1"]["bias"], wqkv, bqkv,
+        eps=cfg.layer_norm_eps,
+    ).reshape(b, l, 3 * d)
+    attn_out = flash_attention_packed(
+        qkv, cfg.num_attention_heads, kv_len=real_len
+    )
+    out = fused_postattn(
+        x2, attn_out.reshape(b * l, d),
+        a["o"]["kernel"], a["o"]["bias"], p["ls1"],
+        p["ln2"]["scale"], p["ln2"]["bias"],
+        p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+        p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"], p["ls2"],
+        eps=cfg.layer_norm_eps,
+    )
+    return out.reshape(b, l, d)
+
+
 def dinov2_layer(
     x: jnp.ndarray, p: dict, cfg: ViTConfig, real_len: int = None
 ) -> jnp.ndarray:
     """One block; ``real_len`` (static) marks real tokens when the
     sequence axis carries persistent lane padding (flash impl only)."""
+    if cfg.attn_impl == "fused":
+        return dinov2_layer_fused(x, p, cfg, real_len)
     h = layer_norm(x, p["ln1"], cfg.layer_norm_eps)
     q = split_heads(linear(h, p["attn"]["q"]), cfg.num_attention_heads)
     k = split_heads(linear(h, p["attn"]["k"]), cfg.num_attention_heads)
@@ -220,7 +261,7 @@ def vit_forward(
     """
     x = vit_embed(params, cfg, pixel_values, dtype)
     real_len = None
-    if cfg.attn_impl == "flash":
+    if cfg.attn_impl in ("flash", "fused"):
         x, real_len = pad_seq_to_lanes(x)
     x = vit_encoder(params["layers"], cfg, x, remat=remat, real_len=real_len)
     if cfg.use_final_layernorm:

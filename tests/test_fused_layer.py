@@ -1,0 +1,103 @@
+"""Fused serving-path ViT layer kernels vs the unfused reference path.
+
+fused_preattn / fused_postattn (ops/fused_layer.py) must reproduce the
+xla layer math (fp32 LN/GELU, same eps/layerscale semantics) — these are
+the serving hot path behind the 5x north star, so parity is asserted at
+layer level AND through the full tower with lane padding + masked keys.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radzero_tpu.models.configuration import ViTConfig
+from radzero_tpu.models.vit import (
+    dinov2_layer,
+    init_vit,
+    init_vit_layers,
+    vit_forward,
+)
+
+
+def _layer_params(key, cfg):
+    stack = init_vit_layers(key, dataclasses.replace(cfg, num_hidden_layers=1))
+    p = jax.tree.map(lambda a: a[0], stack)
+    # non-trivial LN/LS so fusion bugs can't hide behind identities
+    p["ln1"]["scale"] = p["ln1"]["scale"] * 1.1 + 0.03
+    p["ln2"]["bias"] = p["ln2"]["bias"] + 0.05
+    p["ls1"] = p["ls1"] * 0.7
+    p["ls2"] = p["ls2"] * 1.3
+    return p
+
+
+def test_fused_layer_matches_xla_layer():
+    cfg_x = ViTConfig(hidden_size=64, num_hidden_layers=1, num_attention_heads=4,
+                      mlp_ratio=2.0, patch_size=14, pretrain_img_size=28,
+                      img_size=28, attn_impl="xla")
+    cfg_f = dataclasses.replace(cfg_x, attn_impl="fused")
+    p = _layer_params(jax.random.PRNGKey(0), cfg_x)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 37, 64)), jnp.float32)
+
+    ref = dinov2_layer(x, p, cfg_x)
+    # fused path runs on the lane-padded sequence like the real tower
+    x_pad = jnp.pad(x, ((0, 0), (0, 128 - 37), (0, 0)))
+    out = dinov2_layer(x_pad, p, cfg_f, real_len=37)[:, :37]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_tower_matches_flash_tower():
+    cfg_flash = ViTConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+                          mlp_ratio=2.0, patch_size=14, pretrain_img_size=28,
+                          img_size=42, attn_impl="flash")
+    cfg_fused = dataclasses.replace(cfg_flash, attn_impl="fused")
+    params = init_vit(jax.random.PRNGKey(1), cfg_flash)
+    rng = np.random.default_rng(1)
+    pv = jnp.asarray(rng.standard_normal((2, 42, 42, 3)), jnp.float32)
+
+    ref = vit_forward(params, cfg_flash, pv)
+    out = vit_forward(params, cfg_fused, pv)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_kernels_odd_rows_padded():
+    """Row counts not divisible by the block size are padded internally."""
+    from radzero_tpu.ops.fused_layer import fused_postattn, fused_preattn
+
+    rng = np.random.default_rng(2)
+    n, d, f = 37, 32, 64
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    w3 = jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.1, jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal((3 * d,)) * 0.1, jnp.float32)
+    s = jnp.asarray(1.0 + rng.standard_normal((d,)) * 0.1, jnp.float32)
+    bln = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+
+    qkv = fused_preattn(x, s, bln, w3, b3, block_n=16)
+    assert qkv.shape == (n, 3 * d)
+
+    from radzero_tpu.ops.layers import layer_norm
+
+    ref = layer_norm(x[None], {"scale": s, "bias": bln}, 1e-6)[0] @ w3 + b3
+    np.testing.assert_allclose(np.asarray(qkv), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    wo = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+    ls1 = jnp.full((d,), 0.9, jnp.float32)
+    ls2 = jnp.full((d,), 1.1, jnp.float32)
+
+    out = fused_postattn(x, a, wo, bo, ls1, s, bln, w1, b1, w2, b2, ls2, block_n=16)
+
+    from radzero_tpu.ops.layers import gelu
+
+    y = x + ls1 * (a @ wo + bo)
+    h = gelu(layer_norm(y[None], {"scale": s, "bias": bln}, 1e-6)[0] @ w1 + b1)
+    ref2 = y + ls2 * (h @ w2 + b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref2), rtol=2e-5, atol=2e-5)

@@ -59,17 +59,24 @@ def main():
     h4 = jax.random.normal(key, (b, l, f), dt)
     qh = jax.random.normal(key, (b, l, cfg.num_attention_heads, cfg.head_dim), dt)
 
+    sync_jit = jax.jit(
+        lambda leaf: jnp.sum(leaf.astype(jnp.float32)).astype(jnp.float32)
+    )
+
     def timed(fn, *inputs):
         g = jax.jit(fn)
-        out = g(*inputs)           # compile
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])[(0,) * 0]  # device sync by fetch
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = g(*inputs)
-        # tunnel-safe sync: fetch a scalar from the result
+        out = g(*inputs)           # compile the op
         leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.sum(leaf.astype(jnp.float32)))
-        return (time.perf_counter() - t0) / args.iters * 1e3  # ms
+        float(sync_jit(leaf))      # compile the sync-sum OUTSIDE the window
+        best = float("inf")
+        for _ in range(2):         # best-of-2 windows: tunnel jitter
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = g(*inputs)
+            # tunnel-safe sync: fetch a scalar from the result
+            float(sync_jit(jax.tree_util.tree_leaves(out)[0]))
+            best = min(best, (time.perf_counter() - t0) / args.iters * 1e3)
+        return best  # ms
 
     results = {}
 
@@ -112,19 +119,33 @@ def main():
 
     results["tower_12L_scan"] = timed(tower, x)
 
+    # --- dispatch-overhead floor (per-call tunnel cost) -----------------
+    tiny = jnp.ones((8, 128), dt)
+    results["dispatch_floor_ms"] = timed(lambda a: a + 1.0, tiny)
+
     # --- matmul roofline ------------------------------------------------
+    # chain 8 dependent matmuls per dispatch so per-call overhead
+    # amortises; realizable peak is what PARITY.md's 8k probe measures
     m = 8192
     big_a = jax.random.normal(key, (m, m), dt)
-    t_mm = timed(lambda a: a @ a, big_a)
-    peak_tflops = 2 * m**3 / (t_mm * 1e-3) / 1e12
-    results["matmul8k_ms"] = t_mm
+
+    def chained(a):
+        for _ in range(8):
+            a = a @ a * 1e-3
+        return a
+
+    t_mm = timed(chained, big_a)
+    peak_tflops = 8 * 2 * m**3 / (t_mm * 1e-3) / 1e12
+    results["matmul8k_x8_ms"] = t_mm
     results["bf16_peak_tflops"] = peak_tflops
 
     layer_gemm_flops = 2 * b * l * d * (3 * d + d + 2 * f) + 4 * b * 12 * l * l * 64
+    layer_in_scan = results["tower_12L_scan"] / cfg.num_hidden_layers
+    results["layer_in_scan_ms"] = layer_in_scan
     results["layer_gemm_tflop"] = layer_gemm_flops / 1e12
     results["layer_gemm_floor_ms"] = layer_gemm_flops / (peak_tflops * 1e12) * 1e3
-    results["layer_nonmatmul_ms"] = results["layer_fused"] - results["layer_gemm_floor_ms"]
-    results["layer_mfu_vs_realizable"] = results["layer_gemm_floor_ms"] / results["layer_fused"]
+    results["layer_nonmatmul_ms"] = layer_in_scan - results["layer_gemm_floor_ms"]
+    results["layer_mfu_vs_realizable"] = results["layer_gemm_floor_ms"] / layer_in_scan
 
     for k, v in results.items():
         print(f"{k:28s} {v:10.3f}")
