@@ -30,6 +30,16 @@ class ViTConfig:
     img_size: int = 518           # runtime resolution (ref radzero.yaml:19)
     use_final_layernorm: bool = True  # Dinov2Model applies a final LN
     attn_impl: str = "flash"      # flash (Pallas) | xla (eager einsum)
+    # Attention-aware token filtering (PAPERS.md: arXiv 2506.01519),
+    # OPT-IN accuracy/speed trade for serving, default OFF. At layer
+    # ``token_filter_layer`` patch tokens are ranked by head-mean CLS
+    # attention score and only the top (1 - ratio) fraction continue
+    # through the remaining layers; dropped rows are scattered back as
+    # zeros before the final LN so every downstream shape (align,
+    # similarity maps) is unchanged. Measured trade-offs:
+    # tools/token_filter_study.py.
+    token_filter_ratio: float = 0.0
+    token_filter_layer: int = 6
 
     @property
     def head_dim(self) -> int:
@@ -96,7 +106,15 @@ class TextConfig:
     pad_token_id: int = 1
     use_cls_token: bool = False       # False -> masked mean pooling (ref radzero.yaml:27)
     use_text_projection: bool = False # optional Linear(text_dim -> 2*hidden) (modeling.py:69-72)
-    attn_impl: str = "flash"          # flash (Pallas, bias-capable) | xla (eager einsum)
+    # xla | flash (bias-capable Pallas kernel, ops/flash_attention.py).
+    # Default xla: at the reference's text shapes (L <= 64) the flash
+    # path measured SLOWER on-chip (79.8 vs 97.6 samples/s train step at
+    # L64, 92.0 vs 118.8 at L32) — lane padding 64->128 quadruples the
+    # score-GEMM work and per-(batch, head) programs underfill the MXU,
+    # while XLA batches the whole (S, H, L, L) computation into large
+    # GEMMs. Flip to "flash" for long-text configs (L >= 128) where the
+    # (S, H, L, L) HBM traffic dominates instead.
+    attn_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:

@@ -238,6 +238,37 @@ def pad_seq_to_lanes(x: jnp.ndarray, lane: int = 128):
     return jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0))), l
 
 
+def _token_filter(x, layer_p, cfg: ViTConfig, real_len):
+    """Attention-aware token filter (PAPERS.md arXiv 2506.01519, opt-in):
+    rank patch tokens by the head-mean CLS attention score computed from
+    the NEXT layer's q/k projections, keep the top (1 - ratio) fraction
+    (CLS always kept), return the gathered sequence lane-padded for the
+    remaining layers plus the keep indices for scatter-back."""
+    b, l_pad, d = x.shape
+    l_real = real_len if real_len is not None else l_pad
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    keep = max(1, int(round((l_real - 1) * (1.0 - cfg.token_filter_ratio))))
+
+    h = layer_norm(x, layer_p["ln1"], cfg.layer_norm_eps)
+    q_cls = linear(h[:, :1], layer_p["attn"]["q"]).reshape(b, nh, hd)
+    keys = linear(h, layer_p["attn"]["k"]).reshape(b, l_pad, nh, hd)
+    scores = jnp.einsum("bhd,blhd->bl", q_cls, keys) * (hd**-0.5) / nh
+    col = jnp.arange(l_pad)[None, :]
+    scores = jnp.where((col >= 1) & (col < l_real), scores, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, keep)               # (B, keep) patch rows
+    idx = jnp.sort(idx, axis=1)                        # spatial order, stable
+    idx = jnp.concatenate([jnp.zeros((b, 1), idx.dtype), idx], axis=1)
+
+    new_real = 1 + keep
+    # lane padding only on the masked (flash/fused) path; the xla path
+    # has no key mask, so padded rows would corrupt the softmax there
+    new_pad = (new_real + 127) // 128 * 128 if real_len is not None else new_real
+    gathered = jnp.take_along_axis(x, idx[..., None], axis=1)
+    if new_pad != new_real:
+        gathered = jnp.pad(gathered, ((0, 0), (0, new_pad - new_real), (0, 0)))
+    return gathered, idx, new_real
+
+
 def vit_forward(
     params: dict,
     cfg: ViTConfig,
@@ -263,7 +294,24 @@ def vit_forward(
     real_len = None
     if cfg.attn_impl in ("flash", "fused"):
         x, real_len = pad_seq_to_lanes(x)
-    x = vit_encoder(params["layers"], cfg, x, remat=remat, real_len=real_len)
+    if cfg.token_filter_ratio > 0.0:
+        k = cfg.token_filter_layer
+        layers = params["layers"]
+        head = jax.tree.map(lambda a: a[:k], layers)
+        tail = jax.tree.map(lambda a: a[k:], layers)
+        l_pad_full = x.shape[1]
+        x = vit_encoder(head, cfg, x, remat=remat, real_len=real_len)
+        x, idx, new_real = _token_filter(
+            x, jax.tree.map(lambda a: a[k], layers), cfg, real_len
+        )
+        x = vit_encoder(tail, cfg, x, remat=remat, real_len=new_real)
+        # scatter kept rows back to the full grid (zeros at dropped rows)
+        # so align/map shapes downstream are unchanged
+        b = x.shape[0]
+        full = jnp.zeros((b, l_pad_full, x.shape[-1]), x.dtype)
+        x = full.at[jnp.arange(b)[:, None], idx].set(x[:, :new_real])
+    else:
+        x = vit_encoder(params["layers"], cfg, x, remat=remat, real_len=real_len)
     if cfg.use_final_layernorm:
         x = layer_norm(x, params["final_ln"], cfg.layer_norm_eps)
     if real_len is not None and not keep_padded:

@@ -101,3 +101,36 @@ def test_fused_kernels_odd_rows_padded():
     h = gelu(layer_norm(y[None], {"scale": s, "bias": bln}, 1e-6)[0] @ w1 + b1)
     ref2 = y + ls2 * (h @ w2 + b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref2), rtol=2e-5, atol=2e-5)
+
+
+def test_token_filter_shapes_and_cls_kept():
+    """Opt-in attention-aware token filtering: output grid shape is
+    unchanged (dropped rows scattered back as zeros pre-final-LN), CLS
+    is always kept, ratio=0 is bit-identical to the unfiltered path."""
+    cfg0 = ViTConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+                     mlp_ratio=2.0, patch_size=14, pretrain_img_size=28,
+                     img_size=56, attn_impl="flash")
+    cfg_f = dataclasses.replace(cfg0, token_filter_ratio=0.5, token_filter_layer=1)
+    params = init_vit(jax.random.PRNGKey(0), cfg0)
+    rng = np.random.default_rng(0)
+    pv = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)
+
+    ref = vit_forward(params, cfg0, pv)
+    out = vit_forward(params, cfg_f, pv)
+    assert out.shape == ref.shape  # (2, 1 + 16, 64)
+
+    # ratio=0 goes through the unfiltered branch: identical
+    out0 = vit_forward(params, dataclasses.replace(cfg0, token_filter_ratio=0.0), pv)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(ref))
+
+    # CLS row is computed from the filtered sequence, not a zero row;
+    # roughly half the patch rows collapse to the LN-of-zero constant
+    final_b = params["final_ln"]["bias"]
+    zero_row = np.asarray(
+        jnp.zeros((64,)) * 0 + final_b
+    )  # LN(0) = bias when scale*0/std == 0
+    patch_rows = np.asarray(out[:, 1:])
+    dropped = np.isclose(patch_rows, zero_row[None, None, :], atol=1e-6).all(-1)
+    assert dropped.sum(axis=1).tolist() == [8, 8]  # 16 patches, ratio .5
+    cls_rows = np.asarray(out[:, 0])
+    assert not np.isclose(cls_rows, zero_row[None, :], atol=1e-6).all(-1).any()
