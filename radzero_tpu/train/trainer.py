@@ -100,6 +100,25 @@ class RadZeroTrainer:
         )
         self.trainable, self.frozen = partition_params(params, args.module_to_update)
 
+        # Frozen vision tower (the reference policy, radzero.yaml:50): no
+        # gradient ever flows through it — its VJP is never built — so
+        # the forward-only Pallas-fused serving layers are legal inside
+        # the train/eval steps too (tower forward ~30% faster, 12 of 14
+        # transformer layers). Skipped on CPU hosts where the kernels
+        # run in (slow) interpret mode.
+        if (
+            "vision_model" not in args.module_to_update
+            and model_cfg.vision.attn_impl == "flash"
+            and jax.default_backend() != "cpu"
+        ):
+            import dataclasses as _dc
+
+            model_cfg = _dc.replace(
+                model_cfg,
+                vision=_dc.replace(model_cfg.vision, attn_impl="fused"),
+            )
+            self.cfg = model_cfg
+
         steps_per_epoch = max(len(train_loader), 1)
         total_steps = steps_per_epoch * args.num_train_epochs
         self.optimizer, self.schedule = build_optimizer(

@@ -33,7 +33,14 @@ def main():
     from radzero_tpu.train.optim import build_optimizer, partition_params
     from radzero_tpu.train.step import make_train_step
 
-    cfg = RadZeroConfig()
+    import dataclasses
+
+    from radzero_tpu.models.configuration import ViTConfig
+
+    # frozen-tower policy: the forward-only fused serving layers are
+    # legal in the train step (no gradient flows through the tower) —
+    # same substitution RadZeroTrainer makes
+    cfg = RadZeroConfig(vision=ViTConfig(attn_impl="fused"))
     params = init_radzero(jax.random.PRNGKey(0), cfg)
     trainable, frozen = partition_params(params, ["align_transformer", "text_model", "loss_fns"])
     tx, _ = build_optimizer(trainable, total_steps=10000)
