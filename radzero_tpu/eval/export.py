@@ -44,6 +44,7 @@ def export_zero_shot(
     channels: int = 3,
     image_mean=None,
     image_std=None,
+    fused_tower: bool = True,
 ) -> str:
     """Serialize compute_logits at fixed shapes; returns the bundle dir.
 
@@ -53,6 +54,16 @@ def export_zero_shot(
     sources) happen inside the exported program. ``image_mean/std``
     default to the CLIP statistics the flagship Blip processor uses."""
     os.makedirs(out_dir, exist_ok=True)
+    if fused_tower:
+        import dataclasses
+
+        # forward-only Pallas-fused serving layers (ops/fused_layer.py):
+        # exported programs never differentiate
+        cfg = dataclasses.replace(
+            cfg,
+            vision=dataclasses.replace(cfg.vision, attn_impl="fused"),
+            align=dataclasses.replace(cfg.align, attn_impl="fused"),
+        )
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     if from_uint8:
         from radzero_tpu.data.processing import CLIP_MEAN, CLIP_STD
