@@ -87,6 +87,7 @@ class ServingEngine:
         aot_runner=None,
         mesh=None,
         fused_tower: bool = True,
+        fast_scale: bool = False,
     ):
         """``device_normalize``: split the image pipeline — host does
         decode+resize to u8 only, device does rescale+normalise (bit-
@@ -101,7 +102,14 @@ class ServingEngine:
         grayscale JPEGs (the Y plane IS the pixel data); requires
         device_normalize.
         ``fused_tower``: Pallas-fused forward-only vision/align layers
-        (ops/fused_layer.py) — serving never differentiates."""
+        (ops/fused_layer.py) — serving never differentiates.
+        ``fast_scale``: opt-in libjpeg DCT-domain scaled decode (1/2..1/8)
+        for JPEG-bytes requests whose source is much larger than the
+        model size — cuts host decode cost up to ~8x but box-filters the
+        downscale, so maps/pointing shift slightly; suitable for
+        classification-style serving, keep OFF when similarity maps are
+        consumed (same trade as the training loader's default-on flag,
+        data/native.py:native_jpeg_loader)."""
         if fused_tower and cfg is not None:
             import dataclasses
 
@@ -126,6 +134,7 @@ class ServingEngine:
         if channels == 1 and not self.device_normalize:
             raise ValueError("channels=1 requires device_normalize")
         self.channels = channels
+        self.fast_scale = bool(fast_scale)
         self._native = None
         if host_backend in ("auto", "native"):
             from radzero_tpu.data import native
@@ -305,8 +314,12 @@ class ServingEngine:
                 if req.origin_hw is None and req.want_maps == "full":
                     req.origin_hw = self._native.jpeg_dims(bytes(img))
                 if self.channels == 1:
-                    return self._native.decode_resize_gray_u8(bytes(img), size, size)
-                u8 = self._native.decode_resize_u8(bytes(img), size, size)
+                    return self._native.decode_resize_gray_u8(
+                        bytes(img), size, size, fast_scale=self.fast_scale
+                    )
+                u8 = self._native.decode_resize_u8(
+                    bytes(img), size, size, fast_scale=self.fast_scale
+                )
                 if self.device_normalize:
                     return u8
                 return self.image_processor(u8)["pixel_values"][0]

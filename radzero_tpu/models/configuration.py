@@ -154,12 +154,38 @@ def _filter_kwargs(cls, d: dict) -> dict:
     return {k: v for k, v in d.items() if k in names}
 
 
+def _vision_config_from_dict(vc: dict):
+    """Dispatch the vision block on ``model_type`` — the YAML equivalent
+    of the reference's config-side model_type branching
+    (exp/cxr_pt/model/configuration.py:15-40). dinov2/raddino get the
+    flagship ViTConfig; clip/siglip/xrayclip/biomedclip, m3ae and sam
+    get their tower-specific config classes (the reference ACCEPTS
+    "sam" here but its encoder factory then crashes; ours builds it)."""
+    mt = vc.get("model_type", "dinov2")
+    if mt in ("dinov2", "raddino"):
+        vc.setdefault("img_size", 518)
+        return ViTConfig(**_filter_kwargs(ViTConfig, vc))
+    if mt == "sam":
+        from radzero_tpu.models.sam_vit import SamViTConfig
+
+        if "global_attn_indexes" in vc:
+            vc["global_attn_indexes"] = tuple(vc["global_attn_indexes"])
+        return SamViTConfig(**_filter_kwargs(SamViTConfig, vc))
+    if mt in ("m3ae", "mae"):
+        from radzero_tpu.models.mae_vit import MAEViTConfig
+
+        return MAEViTConfig(**_filter_kwargs(MAEViTConfig, vc))
+    if mt in ("clip", "clip_vision_model", "xrayclip", "biomedclip",
+              "siglip", "siglip_vision_model"):
+        from radzero_tpu.models.clip_vit import ClipViTConfig
+
+        return ClipViTConfig(**_filter_kwargs(ClipViTConfig, vc))
+    raise NotImplementedError(f"vision model_type {mt!r}")
+
+
 def radzero_config_from_dict(model_config: dict) -> RadZeroConfig:
     """Build a RadZeroConfig from the YAML ``model.model_config`` block."""
-    vc = dict(model_config.get("vision_config", {}))
-    if "img_size" not in vc:
-        vc["img_size"] = 518
-    vision = ViTConfig(**_filter_kwargs(ViTConfig, vc))
+    vision = _vision_config_from_dict(dict(model_config.get("vision_config", {})))
 
     tc = dict(model_config.get("text_config", {}))
     text = TextConfig(**_filter_kwargs(TextConfig, tc))

@@ -47,6 +47,16 @@ def _siglip():
     return init_clip_vit, clip_vit_forward
 
 
+@VISION_ENCODERS.register("sam")
+def _sam():
+    # the reference ACCEPTS "sam" configs but its factory has no branch
+    # for them (NotImplementedError, vision_encoders.py:40-41); this
+    # entry implements the tower for real (models/sam_vit.py)
+    from radzero_tpu.models.sam_vit import init_sam_vit, sam_vit_forward
+
+    return init_sam_vit, sam_vit_forward
+
+
 @VISION_ENCODERS.register("m3ae")
 @VISION_ENCODERS.register("mae")
 def _mae():

@@ -141,6 +141,46 @@ def test_serving_jpeg_bytes_native_path():
     assert r_full["similarity_maps"].shape == (1, 64, 48)
 
 
+def test_serving_fast_scale_decode():
+    """Opt-in DCT-domain scaled decode: large smooth source -> probs stay
+    close to the full-decode path (box-filtered downscale shifts pixels
+    only slightly on smooth content)."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    from radzero_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native preprocessing library not built")
+
+    params = init_radzero(jax.random.PRNGKey(2), CFG)
+    proc = BlipStyleImageProcessor(size=28)
+    tok = WhitespaceHashTokenizer(vocab_size=5003, max_length=10)
+    yy, xx = np.mgrid[0:256, 0:256]
+    smooth = ((yy + xx) / 2).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(np.stack([smooth] * 3, -1)).save(buf, "JPEG", quality=95)
+    jpeg = buf.getvalue()
+
+    # the scaled decode really kicks in (256/28 -> 1/8 DCT decode)
+    full = native.decode_resize_u8(jpeg, 28, 28)
+    fast = native.decode_resize_u8(jpeg, 28, 28, fast_scale=True)
+    assert not np.array_equal(full, fast)
+    assert np.mean(np.abs(full.astype(np.int16) - fast.astype(np.int16))) < 3.0
+
+    probs = {}
+    for flag in (False, True):
+        with ServingEngine(
+            params, CFG, proc, tok, max_batch=2, max_delay_ms=20,
+            dtype=jnp.float32, host_backend="native", fast_scale=flag,
+        ) as engine:
+            engine.register_prompt_set("cls", ["There is Edema"])
+            probs[flag] = engine.submit(jpeg, "cls").result(timeout=120)["probs"]
+    np.testing.assert_allclose(probs[True], probs[False], atol=0.05)
+
+
 def test_multihost_helpers_single_process():
     mesh = create_mesh({"data": 8})
     batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}

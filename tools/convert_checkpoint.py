@@ -65,6 +65,7 @@ def convert(src: str, dst: str, kind: str) -> None:
         convert_dinov2,
         convert_mpnet,
         convert_radzero_checkpoint,
+        convert_sam,
     )
 
     sd = load_state_dict(src)
@@ -94,6 +95,10 @@ def convert(src: str, dst: str, kind: str) -> None:
         params = convert_dinov2(sd, n_layers("encoder.layer."))
     elif kind == "mpnet":
         params = convert_mpnet(sd, n_layers("encoder.layer."))
+    elif kind == "sam":
+        params = convert_sam(
+            sd, n_layers("vision_encoder.layers.") or n_layers("layers.")
+        )
     else:
         raise ValueError(kind)
 
@@ -147,6 +152,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--src", required=True)
     p.add_argument("--dst", required=True)
-    p.add_argument("--kind", choices=["radzero", "dinov2", "mpnet"], default="radzero")
+    p.add_argument(
+        "--kind", choices=["radzero", "dinov2", "mpnet", "sam"], default="radzero"
+    )
     a = p.parse_args()
     convert(a.src, a.dst, a.kind)
