@@ -78,7 +78,11 @@ def _mpnet():
 
 @TEXT_ENCODERS.register("bert")
 @TEXT_ENCODERS.register("bioclinicalmpbert")
-def _bert():
+@TEXT_ENCODERS.register("biomedclip")  # open_clip PubMedBERT text tower =
+def _bert():                           # BERT architecture (ref
+    # text_encoders.py:16-19 builds it, but the reference's composite
+    # forward then crashes on it — forward_text_model handles only
+    # MPNetModel/BertModel instances (modeling.py:128-206)
     from radzero_tpu.models.bert import bert_forward, init_bert
 
     return init_bert, bert_forward

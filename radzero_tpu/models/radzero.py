@@ -66,7 +66,7 @@ def init_radzero(
     text_type = getattr(cfg.text, "model_type", "mpnet")
     if text_type == "mpnet":
         text_params = init_mpnet(kt, cfg.text)
-    elif text_type in ("bert", "bioclinicalmpbert"):
+    elif text_type in ("bert", "bioclinicalmpbert", "biomedclip"):
         from radzero_tpu.models.bert import bert_config_from_text, init_bert
 
         text_params = init_bert(kt, bert_config_from_text(cfg.text))
@@ -190,7 +190,10 @@ def forward_text(
             text_features = hidden[:, 0, :]
         else:
             text_features = masked_mean_pool(hidden, attention_mask)
-    elif text_type in ("bert", "bioclinicalmpbert"):
+    elif text_type in ("bert", "bioclinicalmpbert", "biomedclip"):
+        # biomedclip: open_clip's PubMedBERT text tower is BERT-arch; the
+        # reference builds it (text_encoders.py:16-19) but its composite
+        # forward_text_model raises NotImplementedError on it
         from radzero_tpu.models.bert import bert_config_from_text, bert_forward
 
         hidden = bert_forward(

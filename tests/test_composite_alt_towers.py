@@ -52,6 +52,37 @@ def test_bert_text_tower_in_composite():
     assert np.isfinite(np.asarray(out["logits"])).all()
 
 
+def test_biomedclip_text_tower_in_composite():
+    """model_type='biomedclip' text (open_clip PubMedBERT = BERT arch).
+    The reference builds this tower (text_encoders.py:16-19) but its
+    composite forward then raises NotImplementedError on it
+    (modeling.py:128-206 handles only MPNetModel/BertModel instances);
+    here it runs end to end through the BERT path."""
+    cfg = _cfg(
+        vision=__import__("radzero_tpu.models.configuration", fromlist=["ViTConfig"]).ViTConfig(
+            hidden_size=D, num_hidden_layers=1, num_attention_heads=2, mlp_ratio=2.0,
+            patch_size=14, pretrain_img_size=28, img_size=28,
+        ),
+        text=TextConfig(
+            model_type="biomedclip", hidden_size=D, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=64, vocab_size=101,
+            max_position_embeddings=40,
+        ),
+    )
+    params = init_radzero(jax.random.PRNGKey(2), cfg)
+    assert "token_type" in params["text_model"]["embeddings"]
+
+    rng = np.random.default_rng(2)
+    out = compute_logits(
+        params, cfg,
+        rng.standard_normal((2, 28, 28, 3)).astype(np.float32),
+        rng.integers(3, 101, (3, 8)).astype(np.int32),
+        np.ones((3, 8), np.int32),
+    )
+    assert out["logits"].shape == (2, 3)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
 def test_mae_vision_tower_in_composite():
     cfg = _cfg(
         vision=MAEViTConfig(hidden_size=D, num_hidden_layers=1, num_attention_heads=2, patch_size=14, img_size=28),

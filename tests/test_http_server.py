@@ -87,3 +87,53 @@ def test_http_predict_and_health():
             assert False, "expected HTTPError"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+def test_http_server_under_concurrent_load():
+    """Load test (VERDICT r2 #7): many concurrent HTTP clients across two
+    prompt sets; every request must succeed with consistent shapes, and
+    responses for identical payloads must be identical (micro-batching
+    across prompt sets must not cross-contaminate)."""
+    import concurrent.futures as cf
+
+    params = init_radzero(jax.random.PRNGKey(1), CFG)
+    engine = ServingEngine(
+        params, CFG, BlipStyleImageProcessor(size=28),
+        WhitespaceHashTokenizer(vocab_size=5003, max_length=10),
+        max_batch=4, max_delay_ms=5, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(1)
+    jpegs = []
+    for i in range(4):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, (40, 30), dtype=np.uint8), "L"
+        ).save(buf, "JPEG", quality=95)
+        jpegs.append(buf.getvalue())
+
+    sets = {"a": ["There is Edema"], "b": ["There is Mass", "No finding"]}
+    with engine, EngineServer(engine, sets) as server:
+        port = server.start(host="127.0.0.1")
+        base = f"http://127.0.0.1:{port}"
+
+        def one(i):
+            ps = "a" if i % 2 == 0 else "b"
+            img_i = (i // 2) % 4
+            out = _post(
+                f"{base}/predict?prompt_set={ps}", jpegs[img_i], "image/jpeg"
+            )
+            return ps, img_i, out["probs"]
+
+        with cf.ThreadPoolExecutor(max_workers=16) as pool:
+            results = [f.result() for f in [pool.submit(one, i) for i in range(48)]]
+
+    by_key = {}
+    for ps, img_i, probs in results:
+        assert len(probs) == len(sets[ps])
+        assert all(0.0 <= p <= 1.0 for p in probs)
+        key = (ps, img_i)
+        if key in by_key:
+            np.testing.assert_allclose(probs, by_key[key], rtol=1e-5, atol=1e-6)
+        else:
+            by_key[key] = probs
+    assert len(by_key) == 8  # both prompt sets x all 4 images exercised
