@@ -106,6 +106,16 @@ class TextConfig:
     pad_token_id: int = 1
     use_cls_token: bool = False       # False -> masked mean pooling (ref radzero.yaml:27)
     use_text_projection: bool = False # optional Linear(text_dim -> 2*hidden) (modeling.py:69-72)
+    # Pack the per-layer q/k/v projections into one (D, 3D) GEMM at
+    # trace time (params stay in the reference q/k/v layout, so
+    # checkpoints/converters are unaffected). Default off: measured
+    # SLOWER on-chip at the reference's training shapes (fwd+bwd at
+    # S=512: -7.6% at L64, -4.5% at L32) — params are jit INPUTS, so
+    # the weight concat is real per-step HBM traffic and the backward
+    # adds a matching gradient split; three D x D GEMMs at batch 512*L
+    # already fill the MXU. Kept as an opt-in for inference-only text
+    # encoding where XLA can constant-fold the concat.
+    pack_qkv: bool = False
     # xla | flash (bias-capable Pallas kernel, ops/flash_attention.py).
     # Default xla: at the reference's text shapes (L <= 64) the flash
     # path measured SLOWER on-chip (79.8 vs 97.6 samples/s train step at

@@ -130,9 +130,19 @@ def create_position_ids(input_ids: jnp.ndarray, padding_idx: int) -> jnp.ndarray
 def mpnet_layer(x, p, rel, neg, cfg: TextConfig):
     """``rel``: (H, L, L) relative-position score bias (shared across the
     batch); ``neg``: (S, L) additive key-padding mask (0 real / -big pad)."""
-    q = split_heads(linear(x, p["attn"]["q"]), cfg.num_attention_heads)
-    k = split_heads(linear(x, p["attn"]["k"]), cfg.num_attention_heads)
-    v = split_heads(linear(x, p["attn"]["v"]), cfg.num_attention_heads)
+    if cfg.pack_qkv:
+        a = p["attn"]
+        wqkv = jnp.concatenate(
+            [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
+        )
+        bqkv = jnp.concatenate([a["q"]["bias"], a["k"]["bias"], a["v"]["bias"]])
+        qkv = jnp.dot(x, wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)
+        q, k, v = (split_heads(t, cfg.num_attention_heads)
+                   for t in jnp.split(qkv, 3, axis=-1))
+    else:
+        q = split_heads(linear(x, p["attn"]["q"]), cfg.num_attention_heads)
+        k = split_heads(linear(x, p["attn"]["k"]), cfg.num_attention_heads)
+        v = split_heads(linear(x, p["attn"]["v"]), cfg.num_attention_heads)
     if cfg.attn_impl == "flash":
         from radzero_tpu.ops.flash_attention import flash_attention_bias
 

@@ -71,6 +71,35 @@ def test_mpnet_matches_hf():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-5)
 
 
+def test_mpnet_pack_qkv_matches_separate():
+    """pack_qkv folds q/k/v into one (D, 3D) GEMM at trace time; params
+    keep the reference layout, outputs and gradients must match."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from radzero_tpu.models.mpnet import init_mpnet
+
+    cfg = TextConfig(**SMALL)
+    cfgp = dataclasses.replace(cfg, pack_qkv=True)
+    params = init_mpnet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    ids, mask = _random_batch(rng)
+
+    out = np.asarray(mpnet_forward(params, cfg, ids, mask))
+    outp = np.asarray(mpnet_forward(params, cfgp, ids, mask))
+    np.testing.assert_allclose(outp, out, rtol=1e-6, atol=1e-6)
+
+    def loss(p, c):
+        return jnp.sum(mpnet_forward(p, c, ids, mask) ** 2)
+
+    g = jax.grad(loss)(params, cfg)
+    gp = jax.grad(loss)(params, cfgp)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5)
+
+
 def test_masked_mean_pool_matches_reference_math():
     """Sentence pooling: sum(h*mask)/clamp(sum(mask), 1e-9) (ref modeling.py:146-156)."""
     rng = np.random.default_rng(1)
