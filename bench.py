@@ -261,6 +261,11 @@ def bench_end_to_end(params, cfg, jnp, n_imgs: int = 192):
             results = [f.result(timeout=600) for f in pairs]
             rates.append(n_imgs / (time.perf_counter() - t0))
             assert all(r["probs"].shape == (20,) for r in results)
+        # result() can return before the completing thread has run the
+        # done-callbacks; wait for every latency sample before sorting
+        deadline = time.perf_counter() + 30
+        while len(latencies) < 3 * len(jpegs) and time.perf_counter() < deadline:
+            time.sleep(0.01)
     rates.sort()
     lat = np.sort(np.asarray(latencies))
     return {

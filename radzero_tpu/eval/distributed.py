@@ -14,10 +14,16 @@ runs at fp32 on loaded checkpoints and often outlives any jit context;
 on multi-host TPU pods the output dir is shared storage, which is also
 exactly the medium of the merged artifact. Metrics are per-dataset, so
 union-of-dicts reproduces the serial result bit-for-bit.
+
+Parts are tagged with a per-run token (rank-0 random broadcast in real
+multi-process runs, a config fingerprint otherwise) so re-evaluating
+into the same output dir — e.g. after further training — never merges
+a previous run's leftover part files.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -30,6 +36,29 @@ from radzero_tpu.utils.logging import logger
 _PART_FMT = "result.part{k}.json"
 
 
+def agree_run_id(process_index: int, process_count: int) -> Optional[str]:
+    """A token shared by every process of THIS eval run, distinguishing
+    its part files from stale ones a previous run left in the same
+    output dir (re-eval after further training is the common case).
+    Rank 0 draws a random 63-bit value and broadcasts it — unique per
+    run with no filesystem coordination. Requires an initialized
+    distributed runtime (which is what made process_count > 1 true);
+    returns None if the broadcast is unavailable."""
+    if process_count <= 1:
+        return "serial"
+    try:
+        import secrets
+
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        token = np.asarray([secrets.randbits(63)], np.int64)
+        token = multihost_utils.broadcast_one_to_all(token)
+        return f"{int(token[0]):016x}"
+    except Exception:
+        return None
+
+
 def partition_datasets(names: Sequence[str], process_index: int,
                        process_count: int) -> List[str]:
     """Deterministic strided slice of a dataset list (same pattern as
@@ -40,38 +69,58 @@ def partition_datasets(names: Sequence[str], process_index: int,
     return list(names[process_index::process_count])
 
 
-def write_partial_result(save_dir: str, process_index: int, payload: Dict) -> str:
-    """Atomically publish one process's metrics slice."""
+def write_partial_result(save_dir: str, process_index: int, payload: Dict,
+                         run_id: Optional[str] = None) -> str:
+    """Atomically publish one process's metrics slice, tagged with the
+    run token so a later run's merge never consumes it as fresh."""
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(save_dir, _PART_FMT.format(k=process_index))
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2)
+        json.dump({"run_id": run_id, "metrics": payload}, f, indent=2)
     os.replace(tmp, path)  # atomic on POSIX: readers never see partials
     return path
 
 
+def _read_part(path: str, run_id: Optional[str]) -> Optional[Dict]:
+    """The part's metrics if it belongs to this run, else None (a stale
+    file from a previous eval into the same dir — the owning rank will
+    overwrite it; treat as not-yet-present and keep polling)."""
+    try:
+        with open(path) as f:
+            part = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if not isinstance(part, dict) or "metrics" not in part:
+        return None  # pre-run_id layout: can't attribute, treat as stale
+    if part.get("run_id") != run_id:
+        return None
+    return part["metrics"]
+
+
 def merge_partial_results(save_dir: str, process_count: int,
                           timeout_s: float = 3600.0,
-                          poll_s: float = 1.0) -> Dict:
-    """Process-0 side: wait for every rank's part file, union the
-    per-dataset dicts, write the canonical ``result.json``."""
+                          poll_s: float = 1.0,
+                          run_id: Optional[str] = None) -> Dict:
+    """Process-0 side: wait for every rank's part file FROM THIS RUN
+    (matching ``run_id``), union the per-dataset dicts, write the
+    canonical ``result.json``. Stale parts — earlier runs into the same
+    dir, or ranks beyond a shrunk process_count — are ignored."""
     paths = [os.path.join(save_dir, _PART_FMT.format(k=k)) for k in range(process_count)]
     deadline = time.monotonic() + timeout_s
     while True:
-        missing = [p for p in paths if not os.path.exists(p)]
+        parts = [_read_part(p, run_id) for p in paths]
+        missing = [p for p, part in zip(paths, parts) if part is None]
         if not missing:
             break
         if time.monotonic() > deadline:
             raise TimeoutError(
                 f"distributed eval merge timed out after {timeout_s:.0f}s; "
-                f"missing {missing}"
+                f"missing or stale (run_id != {run_id!r}): {missing}"
             )
         time.sleep(poll_s)
     merged: Dict = {}
-    for p in paths:
-        with open(p) as f:
-            part = json.load(f)
+    for part in parts:
         overlap = set(merged) & set(part)
         if overlap:
             raise ValueError(f"dataset(s) {sorted(overlap)} reported by multiple ranks")
@@ -102,12 +151,20 @@ class DistributedInference:
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
         merge_timeout_s: float = 3600.0,
+        run_id: Optional[str] = None,
     ):
-        if process_index is None or process_count is None:
+        auto = process_index is None or process_count is None
+        if auto:
             import jax
 
             process_index = jax.process_index()
             process_count = jax.process_count()
+        if run_id is None and auto:
+            # real multi-process run: agree on a fresh token via the
+            # distributed runtime so re-evals into the same output dir
+            # never merge a previous run's parts
+            run_id = agree_run_id(process_index, process_count)
+        self.run_id = run_id
         self.process_index = process_index
         self.process_count = process_count
         self.merge_timeout_s = merge_timeout_s
@@ -121,6 +178,15 @@ class DistributedInference:
     # ------------------------------------------------------------------
     def _run_task(self, task: str, full_list: List[str], scorer,
                   save_dir: str, **kwargs) -> Optional[Dict]:
+        run_id = self.run_id
+        if run_id is None:
+            # explicitly-constructed ranks with no caller token (tests,
+            # manual launchers): a deterministic config fingerprint —
+            # every rank of the same launch computes the same value, and
+            # a changed registry or world size invalidates old parts
+            run_id = hashlib.sha1(
+                f"{task}|{','.join(full_list)}|{self.process_count}".encode()
+            ).hexdigest()[:16]
         mine = partition_datasets(full_list, self.process_index, self.process_count)
         lists = {"classification": [], "grounding": [], "segmentation": []}
         lists[task] = mine
@@ -138,10 +204,11 @@ class DistributedInference:
             raise RuntimeError(
                 f"{task} failed on process {self.process_index}; see log"
             )
-        write_partial_result(save_dir, self.process_index, part)
+        write_partial_result(save_dir, self.process_index, part, run_id=run_id)
         if self.process_index == 0:
             return merge_partial_results(
-                save_dir, self.process_count, self.merge_timeout_s
+                save_dir, self.process_count, self.merge_timeout_s,
+                run_id=run_id,
             )
         return None
 

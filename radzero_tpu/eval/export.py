@@ -55,15 +55,11 @@ def export_zero_shot(
     default to the CLIP statistics the flagship Blip processor uses."""
     os.makedirs(out_dir, exist_ok=True)
     if fused_tower:
-        import dataclasses
+        from radzero_tpu.models.configuration import with_fused_towers
 
         # forward-only Pallas-fused serving layers (ops/fused_layer.py):
         # exported programs never differentiate
-        cfg = dataclasses.replace(
-            cfg,
-            vision=dataclasses.replace(cfg.vision, attn_impl="fused"),
-            align=dataclasses.replace(cfg.align, attn_impl="fused"),
-        )
+        cfg = with_fused_towers(cfg)
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     if from_uint8:
         from radzero_tpu.data.processing import CLIP_MEAN, CLIP_STD

@@ -53,13 +53,9 @@ class ZeroShotScorer:
         numerically equivalent (tests/test_fused_layer.py), faster on
         chip. Inference never differentiates, so this is safe here."""
         if fused_tower:
-            import dataclasses
+            from radzero_tpu.models.configuration import with_fused_towers
 
-            cfg = dataclasses.replace(
-                cfg,
-                vision=dataclasses.replace(cfg.vision, attn_impl="fused"),
-                align=dataclasses.replace(cfg.align, attn_impl="fused"),
-            )
+            cfg = with_fused_towers(cfg)
         self.cfg = cfg
         self.image_processor = image_processor
         self.tokenizer = tokenizer

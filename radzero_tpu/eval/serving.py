@@ -111,13 +111,9 @@ class ServingEngine:
         consumed (same trade as the training loader's default-on flag,
         data/native.py:native_jpeg_loader)."""
         if fused_tower and cfg is not None:
-            import dataclasses
+            from radzero_tpu.models.configuration import with_fused_towers
 
-            cfg = dataclasses.replace(
-                cfg,
-                vision=dataclasses.replace(cfg.vision, attn_impl="fused"),
-                align=dataclasses.replace(cfg.align, attn_impl="fused"),
-            )
+            cfg = with_fused_towers(cfg)
         self.cfg = cfg
         self.image_processor = image_processor
         self.tokenizer = tokenizer

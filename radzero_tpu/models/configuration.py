@@ -164,6 +164,31 @@ def _filter_kwargs(cls, d: dict) -> dict:
     return {k: v for k, v in d.items() if k in names}
 
 
+def with_fused_towers(cfg: RadZeroConfig) -> RadZeroConfig:
+    """Flip the vision/align ``attn_impl`` to the forward-only
+    Pallas-fused serving layers (ops/fused_layer.py) where supported.
+
+    The single guard point for every inference surface (scorer, serving
+    engine, AOT export): only tower configs that actually expose an
+    ``attn_impl`` field participate — the fused kernels implement the
+    DINOv2 layer body, so SAM/CLIP/MAE alternates keep their XLA path
+    untouched instead of crashing ``dataclasses.replace``. On backends
+    with no Pallas lowering (e.g. gpu) the config is returned unchanged:
+    the kernels run natively on TPU and interpreted on CPU only."""
+    import jax
+
+    if jax.default_backend() not in ("cpu", "tpu"):
+        return cfg
+    changes = {}
+    for name in ("vision", "align"):
+        sub = getattr(cfg, name, None)
+        if sub is not None and any(
+            f.name == "attn_impl" for f in dataclasses.fields(sub)
+        ):
+            changes[name] = dataclasses.replace(sub, attn_impl="fused")
+    return dataclasses.replace(cfg, **changes) if changes else cfg
+
+
 def _vision_config_from_dict(vc: dict):
     """Dispatch the vision block on ``model_type`` — the YAML equivalent
     of the reference's config-side model_type branching

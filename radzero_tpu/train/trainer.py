@@ -108,7 +108,7 @@ class RadZeroTrainer:
         # run in (slow) interpret mode.
         if (
             "vision_model" not in args.module_to_update
-            and model_cfg.vision.attn_impl == "flash"
+            and getattr(model_cfg.vision, "attn_impl", None) == "flash"
             and jax.default_backend() != "cpu"
         ):
             import dataclasses as _dc

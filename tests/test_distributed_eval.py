@@ -57,6 +57,32 @@ def test_merge_waits_and_unions(tmp_path):
         merge_partial_results(d2, 2, timeout_s=5)
 
 
+def test_merge_ignores_stale_parts_from_previous_run(tmp_path):
+    """Re-running eval into the same output dir must not union a
+    previous run's part files: parts are tagged with a run token and
+    the merge treats a mismatched token as not-yet-present."""
+    d = str(tmp_path / "task")
+    # previous run left both parts behind
+    write_partial_result(d, 0, {"A": {"auc": 0.1}}, run_id="old")
+    write_partial_result(d, 1, {"B": {"auc": 0.2}}, run_id="old")
+    # new run: rank 0 has finished, rank 1 hasn't overwritten yet
+    write_partial_result(d, 0, {"A": {"auc": 0.9}}, run_id="new")
+    with pytest.raises(TimeoutError, match="stale"):
+        merge_partial_results(d, 2, timeout_s=0.3, poll_s=0.05, run_id="new")
+    # rank 1 publishes -> merge sees only this run's parts
+    write_partial_result(d, 1, {"B": {"auc": 0.8}}, run_id="new")
+    merged = merge_partial_results(d, 2, timeout_s=5, run_id="new")
+    assert merged == {"A": {"auc": 0.9}, "B": {"auc": 0.8}}
+
+    # legacy/untagged files are likewise not attributable to this run
+    d2 = str(tmp_path / "legacy")
+    os.makedirs(d2)
+    with open(os.path.join(d2, "result.part0.json"), "w") as f:
+        json.dump({"A": {"auc": 0.1}}, f)  # raw pre-envelope layout
+    with pytest.raises(TimeoutError):
+        merge_partial_results(d2, 1, timeout_s=0.3, poll_s=0.05, run_id="new")
+
+
 def _dist(data_root, k, n, **kw):
     return DistributedInference(
         ["Chexpert"], ["ChestXDet10", "MS-CXR"], ["SIIM", "RSNA"], data_root,
