@@ -29,7 +29,11 @@ class ViTConfig:
     pretrain_img_size: int = 224  # grid the stored pos-embeds correspond to
     img_size: int = 518           # runtime resolution (ref radzero.yaml:19)
     use_final_layernorm: bool = True  # Dinov2Model applies a final LN
-    attn_impl: str = "flash"      # flash (Pallas) | xla (eager einsum)
+    # flash (Pallas) | xla (eager einsum) | packed (transpose-free
+    # trainable layout, ops/fused_layer.py — wins when the tower itself
+    # is trained) | fused (forward-only serving kernels; inference
+    # surfaces switch to it via with_fused_towers)
+    attn_impl: str = "flash"
     # Attention-aware token filtering (PAPERS.md: arXiv 2506.01519),
     # OPT-IN accuracy/speed trade for serving, default OFF. At layer
     # ``token_filter_layer`` patch tokens are ranked by head-mean CLS
@@ -75,7 +79,14 @@ class AlignConfig:
     layer_norm_eps: float = 1e-6
     layerscale_value: float = 1.0
     use_layer_norm: bool = False  # optional trailing LN (radzero.yaml:34: False)
-    attn_impl: str = "flash"
+    # packed (default) | flash | xla | fused (forward-only serving).
+    # "packed" = one packed-QKV GEMM + the transpose-free packed
+    # attention custom VJP (ops/fused_layer.py) — measured 118.5 vs
+    # 128.5 ms (flash) for the 2-layer adapter fwd+bwd at the flagship
+    # training shape (batch 64 x 1408 x 768, bf16, remat); these are the
+    # TRAINABLE layers, so unlike the tower they cannot use the
+    # forward-only fused kernels.
+    attn_impl: str = "packed"
 
     def as_vit(self) -> ViTConfig:
         return ViTConfig(

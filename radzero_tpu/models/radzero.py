@@ -129,7 +129,9 @@ def forward_vision(
     if model_type in ("dinov2", "raddino"):
         # persistent lane padding: pad once before the 12-layer tower,
         # keep it through the align adapter, slice once after
-        keep_padded = getattr(cfg.vision, "attn_impl", "xla") in ("flash", "fused")
+        keep_padded = getattr(cfg.vision, "attn_impl", "xla") in (
+            "flash", "fused", "packed",
+        )
         tokens = vit_forward(
             params["vision_model"], cfg.vision, pixel_values, dtype=dtype, remat=remat,
             keep_padded=keep_padded,

@@ -191,15 +191,40 @@ def dinov2_layer(
     if cfg.attn_impl == "fused":
         return dinov2_layer_fused(x, p, cfg, real_len)
     h = layer_norm(x, p["ln1"], cfg.layer_norm_eps)
-    q = split_heads(linear(h, p["attn"]["q"]), cfg.num_attention_heads)
-    k = split_heads(linear(h, p["attn"]["k"]), cfg.num_attention_heads)
-    v = split_heads(linear(h, p["attn"]["v"]), cfg.num_attention_heads)
-    if cfg.attn_impl == "flash":
-        from radzero_tpu.ops.flash_attention import flash_attention
+    if cfg.attn_impl == "packed":
+        # trainable analog of the fused serving layout: one packed-QKV
+        # GEMM feeding the transpose-free packed attention custom VJP
+        # (ops/fused_layer.py) — no (B, L, H, hd) <-> (B*H, L, hd) head
+        # round trips in forward, backward, or the remat recompute
+        from radzero_tpu.ops.fused_layer import flash_attention_packed_vjp
 
-        a = merge_heads(flash_attention(q, k, v, None, None, real_len))
+        ap = p["attn"]
+        wqkv = jnp.concatenate(
+            [ap["q"]["kernel"], ap["k"]["kernel"], ap["v"]["kernel"]], axis=1
+        ).astype(h.dtype)
+        bqkv = jnp.concatenate(
+            [ap["q"]["bias"], ap["k"]["bias"], ap["v"]["bias"]]
+        ).astype(h.dtype)
+        qkv = jnp.dot(h, wqkv) + bqkv
+        l = qkv.shape[1]
+        if real_len is None and l % 128 != 0:
+            # standalone use on an unpadded sequence: pad to lanes here
+            lp = (l + 127) // 128 * 128
+            qkv = jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
+            a = flash_attention_packed_vjp(qkv, cfg.num_attention_heads, l, None)
+            a = a[:, :l]
+        else:
+            a = flash_attention_packed_vjp(qkv, cfg.num_attention_heads, real_len, None)
     else:
-        a = merge_heads(attention(q, k, v))
+        q = split_heads(linear(h, p["attn"]["q"]), cfg.num_attention_heads)
+        k = split_heads(linear(h, p["attn"]["k"]), cfg.num_attention_heads)
+        v = split_heads(linear(h, p["attn"]["v"]), cfg.num_attention_heads)
+        if cfg.attn_impl == "flash":
+            from radzero_tpu.ops.flash_attention import flash_attention
+
+            a = merge_heads(flash_attention(q, k, v, None, None, real_len))
+        else:
+            a = merge_heads(attention(q, k, v))
     a = linear(a, p["attn"]["o"])
     x = x + a * p["ls1"].astype(x.dtype)
 
@@ -292,7 +317,7 @@ def vit_forward(
     """
     x = vit_embed(params, cfg, pixel_values, dtype)
     real_len = None
-    if cfg.attn_impl in ("flash", "fused"):
+    if cfg.attn_impl in ("flash", "fused", "packed"):
         x, real_len = pad_seq_to_lanes(x)
     if cfg.token_filter_ratio > 0.0:
         k = cfg.token_filter_layer

@@ -117,7 +117,8 @@ def fused_preattn(x, ln_scale, ln_bias, w_qkv, b_qkv, *, eps=1e-6, block_n=512):
 # ---------------------------------------------------------------------------
 
 def _packed_attn_kernel(qkv_ref, o_ref, *, n_heads: int, hd: int,
-                        scale: float, l_real: int, stable: bool):
+                        scale: float, l_real: int, stable: bool,
+                        round_bf16: bool):
     """One image per program; static per-head lane slices of the packed
     block replace the (B, L, H, hd) <-> (B*H, L, hd) transpose round
     trips of the generic flash path (8 full-activation HBM passes per
@@ -137,7 +138,7 @@ def _packed_attn_kernel(qkv_ref, o_ref, *, n_heads: int, hd: int,
             s = jnp.where(col < l_real, s, -jnp.inf)
         if stable:
             s = s - jnp.max(s, axis=-1, keepdims=True)
-        if qkv.dtype == jnp.bfloat16:
+        if round_bf16:
             # bf16-rounded exponent argument: ~0.4% relative error on the
             # attention weights — far below the tower's bf16 noise floor
             # (scores already come from bf16 operands) — and measurably
@@ -150,12 +151,15 @@ def _packed_attn_kernel(qkv_ref, o_ref, *, n_heads: int, hd: int,
 
 
 def flash_attention_packed(qkv, n_heads: int, kv_len=None, scale=None,
-                           stable=None):
+                           stable=None, round_bf16=None):
     """(B, L_pad, 3D) packed [q | k | v] -> (B, L_pad, D) merged heads.
 
     Forward-only serving variant of ops.flash_attention with the same
     softmax semantics (fp32 scores, masked lane padding via ``kv_len``,
     optional row-max stabilisation resolved by dtype).
+    ``round_bf16=None`` resolves by dtype (bf16 inputs round the
+    exponent argument — the serving default); the differentiable
+    wrapper below passes False so forward and backward agree exactly.
     """
     b, l_pad, d3 = qkv.shape
     d = d3 // 3
@@ -164,12 +168,15 @@ def flash_attention_packed(qkv, n_heads: int, kv_len=None, scale=None,
         scale = hd**-0.5
     if stable is None:
         stable = qkv.dtype == jnp.float32
+    if round_bf16 is None:
+        round_bf16 = qkv.dtype == jnp.bfloat16
     l_real = kv_len if kv_len is not None else l_pad
 
     return pl.pallas_call(
         functools.partial(
             _packed_attn_kernel, n_heads=n_heads, hd=hd,
             scale=float(scale), l_real=l_real, stable=stable,
+            round_bf16=round_bf16,
         ),
         out_shape=jax.ShapeDtypeStruct((b, l_pad, d), qkv.dtype),
         grid=(b,),
@@ -185,6 +192,116 @@ def flash_attention_packed(qkv, n_heads: int, kv_len=None, scale=None,
             transcendentals=b * n_heads * l_pad * l_pad,
         ),
     )(qkv)
+
+
+# ---------------------------------------------------------------------------
+# differentiable packed-layout attention (training path for the trainable
+# align layers: same transpose-free layout as the serving kernel, with a
+# Pallas backward that emits the packed d(qkv) directly)
+# ---------------------------------------------------------------------------
+
+def _packed_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, n_heads: int,
+                            hd: int, scale: float, l_real: int):
+    """One image per program: recompute the exact fp32 softmax per head
+    (flash-style — the (L, L) probabilities never touch HBM), then
+    dV = P^T dO, dP = dO V^T, dS = P (dP - rowsum(dP P)) scale,
+    dQ = dS K, dK = dS^T Q, written to static per-head lane slices of
+    the packed (L_pad, 3D) gradient block. Padded key columns get P = 0
+    (masked to -inf before exp), so every gradient contribution through
+    them vanishes; padded query rows receive dO = 0 from the caller's
+    slice, zeroing their dq/dk/dv terms."""
+    qkv = qkv_ref[0]                     # (l_pad, 3D) in VMEM
+    do_all = do_ref[0]                   # (l_pad, D)
+    d = n_heads * hd
+    l_pad = qkv.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (l_pad, l_pad), 1)
+    for h in range(n_heads):
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+        do = do_all[:, h * hd : (h + 1) * hd].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * _LOG2E)
+        if l_real < l_pad:
+            s = jnp.where(col < l_real, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)       # (l_pad, l_pad) fp32
+
+        pc = p.astype(v.dtype)
+        doc = do.astype(v.dtype)
+        dv = jax.lax.dot_general(pc, doc, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(doc, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dsc = ds.astype(q.dtype)
+        dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(dsc, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+        dqkv_ref[0, :, h * hd : (h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, d + h * hd : d + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * d + h * hd : 2 * d + (h + 1) * hd] = dv.astype(
+            dqkv_ref.dtype
+        )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def flash_attention_packed_vjp(qkv, n_heads: int, kv_len=None, scale=None):
+    """Differentiable :func:`flash_attention_packed`: (B, L_pad, 3D)
+    packed qkv -> (B, L_pad, D), custom VJP in the same packed layout.
+
+    Eliminates the (B, L, H, hd) <-> (B*H, L_pad, hd) transpose round
+    trips that ops.flash_attention pays in BOTH passes (plus once more
+    under remat) — the training analog of the serving layout win.
+    Numerics: exact fp32 softmax with row-max shift in forward and
+    backward (no bf16 exponent rounding, so the recomputed backward
+    probabilities match the forward bit-for-bit)."""
+    return flash_attention_packed(
+        qkv, n_heads, kv_len=kv_len, scale=scale, stable=True,
+        round_bf16=False,
+    )
+
+
+def _packed_vjp_fwd(qkv, n_heads, kv_len, scale):
+    return flash_attention_packed_vjp(qkv, n_heads, kv_len, scale), qkv
+
+
+def _packed_vjp_bwd(n_heads, kv_len, scale, qkv, g):
+    b, l_pad, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // n_heads
+    if scale is None:
+        scale = hd**-0.5
+    l_real = kv_len if kv_len is not None else l_pad
+
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _packed_attn_bwd_kernel, n_heads=n_heads, hd=hd,
+            scale=float(scale), l_real=l_real,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, d3), qkv.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, l_pad, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l_pad, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=_COMPILER_PARAMS,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n_heads * l_pad * l_pad * hd,
+            bytes_accessed=2 * b * l_pad * (d3 + d) * qkv.dtype.itemsize,
+            transcendentals=b * n_heads * l_pad * l_pad,
+        ),
+    )(qkv, g)
+    return (dqkv,)
+
+
+flash_attention_packed_vjp.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------

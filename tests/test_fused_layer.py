@@ -134,3 +134,52 @@ def test_token_filter_shapes_and_cls_kept():
     assert dropped.sum(axis=1).tolist() == [8, 8]  # 16 patches, ratio .5
     cls_rows = np.asarray(out[:, 0])
     assert not np.isclose(cls_rows, zero_row[None, :], atol=1e-6).all(-1).any()
+
+
+def test_packed_vjp_layer_matches_xla_fwd_and_grads():
+    """attn_impl='packed' (trainable transpose-free layout with the
+    Pallas custom VJP, ops/fused_layer.py:flash_attention_packed_vjp)
+    must match the xla layer in BOTH the forward and every parameter
+    gradient — it is a training path, unlike 'fused'."""
+    cfg_x = ViTConfig(hidden_size=64, num_hidden_layers=1, num_attention_heads=4,
+                      mlp_ratio=2.0, patch_size=14, pretrain_img_size=28,
+                      img_size=28, attn_impl="xla")
+    cfg_p = dataclasses.replace(cfg_x, attn_impl="packed")
+    p = _layer_params(jax.random.PRNGKey(2), cfg_x)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 37, 64)), jnp.float32)
+
+    # forward, including the self-padding branch for a non-lane-multiple L
+    ref = dinov2_layer(x, p, cfg_x)
+    out = dinov2_layer(x, p, cfg_p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # forward on a pre-padded sequence with real_len (the tower flow)
+    x_pad = jnp.pad(x, ((0, 0), (0, 128 - 37), (0, 0)))
+    outp = dinov2_layer(x_pad, p, cfg_p, real_len=37)[:, :37]
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # gradients: packed custom VJP vs xla autodiff, padded-rows flow
+    def loss(params, cfg, xin, l=None):
+        out = dinov2_layer(xin, params, cfg, real_len=l)
+        if l is not None:
+            out = out[:, :l]
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(loss)(p, cfg_x, x)
+    g_pack = jax.grad(loss)(p, cfg_p, x_pad, 37)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(g_pack)[0])
+    for path, val in flat_r:
+        got = flat_p[path]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(val), rtol=2e-4, atol=2e-4,
+            err_msg=str(path),
+        )
+
+    # input gradient too (flows into the previous layer in the tower)
+    gx_ref = jax.grad(lambda xin: loss(p, cfg_x, xin))(x)
+    gx_pack = jax.grad(lambda xin: loss(p, cfg_p, xin, 37))(x_pad)[:, :37]
+    np.testing.assert_allclose(
+        np.asarray(gx_pack), np.asarray(gx_ref), rtol=2e-4, atol=2e-4
+    )
