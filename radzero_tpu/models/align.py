@@ -38,6 +38,12 @@ def _align_transformer():
         return params
 
     def apply(params, cfg: AlignConfig, tokens, *, remat=False, real_len=None):
+        if cfg.remat is not None:
+            # per-module remat override: the 2 adapter layers' saved
+            # activations are small (~2 x B*L*D vs the text tower's 34 GB
+            # no-remat blowup), so skipping their forward recompute can
+            # pay when HBM allows — measured knob, see ROADMAP.md
+            remat = cfg.remat
         tokens = vit_encoder(
             params["layers"], cfg.as_vit(), tokens, remat=remat, real_len=real_len
         )

@@ -79,6 +79,11 @@ class AlignConfig:
     layer_norm_eps: float = 1e-6
     layerscale_value: float = 1.0
     use_layer_norm: bool = False  # optional trailing LN (radzero.yaml:34: False)
+    # None -> follow the caller's global remat flag; True/False forces
+    # rematerialisation for the adapter layers only (per-module remat
+    # granularity — the adapter's saved activations are tiny next to
+    # the text tower's, so disabling its recompute is cheap in HBM)
+    remat: Optional[bool] = None
     # packed (default) | flash | xla | fused (forward-only serving).
     # "packed" = one packed-QKV GEMM + the transpose-free packed
     # attention custom VJP (ops/fused_layer.py) — measured 118.5 vs
