@@ -84,14 +84,16 @@ class AlignConfig:
     # granularity — the adapter's saved activations are tiny next to
     # the text tower's, so disabling its recompute is cheap in HBM)
     remat: Optional[bool] = None
-    # packed (default) | flash | xla | fused (forward-only serving).
-    # "packed" = one packed-QKV GEMM + the transpose-free packed
-    # attention custom VJP (ops/fused_layer.py) — measured 118.5 vs
-    # 128.5 ms (flash) for the 2-layer adapter fwd+bwd at the flagship
-    # training shape (batch 64 x 1408 x 768, bf16, remat); these are the
-    # TRAINABLE layers, so unlike the tower they cannot use the
-    # forward-only fused kernels.
-    attn_impl: str = "packed"
+    # fused_vjp (default) | packed | flash | xla | fused (forward-only
+    # serving). "fused_vjp" = the trainable twin of the fused serving
+    # layer: ln1+packed-QKV and proj+res+ln2+MLP+res each run as one
+    # Pallas kernel pair with custom backwards (ops/fused_layer.py) —
+    # no LN/GELU intermediates in HBM in either pass. Measured full
+    # train step at the flagship recipe (batch 64 x 1408 x 768, bf16,
+    # L64 slots): 122.9 samples/s vs 115.1 (packed) with remat, 115.3
+    # vs 103.1 without. These are the TRAINABLE layers, so unlike the
+    # frozen tower they need the VJP variants of the fused kernels.
+    attn_impl: str = "fused_vjp"
 
     def as_vit(self) -> ViTConfig:
         return ViTConfig(
@@ -141,6 +143,14 @@ class TextConfig:
     # GEMMs. Flip to "flash" for long-text configs (L >= 128) where the
     # (S, H, L, L) HBM traffic dominates instead.
     attn_impl: str = "xla"
+    # Fuse the post-attention chain (o-proj + add + LN + MLP + add + LN)
+    # into one differentiable Pallas kernel pair
+    # (ops/fused_layer.py:fused_mpnet_post_vjp): the (S*L, 4D) GELU
+    # intermediates and both LN activations never touch HBM in either
+    # pass, and the backward recomputes them blockwise in VMEM. Unlike
+    # pack_qkv/flash this moves no weights and changes no layouts, so it
+    # has no per-step HBM downside at small L.
+    fuse_post: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -152,6 +152,23 @@ def mpnet_layer(x, p, rel, neg, cfg: TextConfig):
     else:
         bias = rel[None].astype(x.dtype) + neg[:, None, None, :].astype(x.dtype)
         a = merge_heads(attention(q, k, v, bias=bias, scale=cfg.head_dim**-0.5))
+    if cfg.fuse_post:
+        # one differentiable Pallas kernel pair for the whole
+        # non-attention chain (ops/fused_layer.py:fused_mpnet_post_vjp)
+        from radzero_tpu.ops.fused_layer import fused_mpnet_post_vjp
+
+        s, l, d = x.shape
+        cdt = x.dtype
+        out = fused_mpnet_post_vjp(
+            x.reshape(s * l, d), a.reshape(s * l, d),
+            p["attn"]["o"]["kernel"].astype(cdt), p["attn"]["o"]["bias"].astype(cdt),
+            p["ln_attn"]["scale"].astype(cdt), p["ln_attn"]["bias"].astype(cdt),
+            p["mlp"]["fc1"]["kernel"].astype(cdt), p["mlp"]["fc1"]["bias"].astype(cdt),
+            p["mlp"]["fc2"]["kernel"].astype(cdt), p["mlp"]["fc2"]["bias"].astype(cdt),
+            p["ln_out"]["scale"].astype(cdt), p["ln_out"]["bias"].astype(cdt),
+            cfg.layer_norm_eps,
+        )
+        return out.reshape(s, l, d)
     a = linear(a, p["attn"]["o"])
     x = layer_norm(x + a, p["ln_attn"], cfg.layer_norm_eps)
 

@@ -130,7 +130,7 @@ def forward_vision(
         # persistent lane padding: pad once before the 12-layer tower,
         # keep it through the align adapter, slice once after
         keep_padded = getattr(cfg.vision, "attn_impl", "xla") in (
-            "flash", "fused", "packed",
+            "flash", "fused", "packed", "fused_vjp",
         )
         tokens = vit_forward(
             params["vision_model"], cfg.vision, pixel_values, dtype=dtype, remat=remat,

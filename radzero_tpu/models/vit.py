@@ -190,6 +190,51 @@ def dinov2_layer(
     sequence axis carries persistent lane padding (flash impl only)."""
     if cfg.attn_impl == "fused":
         return dinov2_layer_fused(x, p, cfg, real_len)
+    if cfg.attn_impl == "fused_vjp":
+        # trainable twin of the fused serving layer: identical forward
+        # kernels with custom Pallas backwards (ops/fused_layer.py) —
+        # the LN/GELU intermediates never exist in HBM in either pass,
+        # and the only autodiff residuals are (x, qkv, attn_out)
+        from radzero_tpu.ops.fused_layer import (
+            flash_attention_packed_vjp,
+            fused_postattn_vjp,
+            fused_preattn_vjp,
+        )
+
+        b, l, d = x.shape
+        cdt = x.dtype
+        a = p["attn"]
+        wqkv = jnp.concatenate(
+            [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
+        ).astype(cdt)
+        bqkv = jnp.concatenate(
+            [a["q"]["bias"], a["k"]["bias"], a["v"]["bias"]]
+        ).astype(cdt)
+        x2 = x.reshape(b * l, d)
+        qkv = fused_preattn_vjp(
+            x2, p["ln1"]["scale"].astype(cdt), p["ln1"]["bias"].astype(cdt),
+            wqkv, bqkv, cfg.layer_norm_eps,
+        ).reshape(b, l, 3 * d)
+        if real_len is None and l % 128 != 0:
+            lp = (l + 127) // 128 * 128
+            qkv = jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
+            attn_out = flash_attention_packed_vjp(
+                qkv, cfg.num_attention_heads, l, None
+            )[:, :l]
+        else:
+            attn_out = flash_attention_packed_vjp(
+                qkv, cfg.num_attention_heads, real_len, None
+            )
+        out = fused_postattn_vjp(
+            x2, attn_out.reshape(b * l, d),
+            a["o"]["kernel"].astype(cdt), a["o"]["bias"].astype(cdt),
+            p["ls1"].astype(cdt),
+            p["ln2"]["scale"].astype(cdt), p["ln2"]["bias"].astype(cdt),
+            p["mlp"]["fc1"]["kernel"].astype(cdt), p["mlp"]["fc1"]["bias"].astype(cdt),
+            p["mlp"]["fc2"]["kernel"].astype(cdt), p["mlp"]["fc2"]["bias"].astype(cdt),
+            p["ls2"].astype(cdt), cfg.layer_norm_eps,
+        )
+        return out.reshape(b, l, d)
     h = layer_norm(x, p["ln1"], cfg.layer_norm_eps)
     if cfg.attn_impl == "packed":
         # trainable analog of the fused serving layout: one packed-QKV
@@ -317,7 +362,7 @@ def vit_forward(
     """
     x = vit_embed(params, cfg, pixel_values, dtype)
     real_len = None
-    if cfg.attn_impl in ("flash", "fused", "packed"):
+    if cfg.attn_impl in ("flash", "fused", "packed", "fused_vjp"):
         x, real_len = pad_seq_to_lanes(x)
     if cfg.token_filter_ratio > 0.0:
         k = cfg.token_filter_layer

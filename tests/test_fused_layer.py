@@ -183,3 +183,89 @@ def test_packed_vjp_layer_matches_xla_fwd_and_grads():
     np.testing.assert_allclose(
         np.asarray(gx_pack), np.asarray(gx_ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_fused_vjp_layer_matches_xla_fwd_and_grads():
+    """attn_impl='fused_vjp' (trainable twin of the fused serving layer:
+    same forward kernels, Pallas custom backwards for ln1+QKV and
+    proj+res+ln2+MLP+res) must match the xla layer in the forward and
+    every parameter gradient, including under remat."""
+    cfg_x = ViTConfig(hidden_size=64, num_hidden_layers=1, num_attention_heads=4,
+                      mlp_ratio=2.0, patch_size=14, pretrain_img_size=28,
+                      img_size=28, attn_impl="xla")
+    cfg_f = dataclasses.replace(cfg_x, attn_impl="fused_vjp")
+    p = _layer_params(jax.random.PRNGKey(3), cfg_x)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 37, 64)), jnp.float32)
+    x_pad = jnp.pad(x, ((0, 0), (0, 128 - 37), (0, 0)))
+
+    ref = dinov2_layer(x, p, cfg_x)
+    # self-padding branch (no real_len) and tower flow (padded + real_len)
+    out = dinov2_layer(x, p, cfg_f)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    outp = dinov2_layer(x_pad, p, cfg_f, real_len=37)[:, :37]
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def loss(params, cfg, xin, l=None, remat=False):
+        fn = dinov2_layer
+        if remat:
+            fn = jax.checkpoint(dinov2_layer, static_argnums=(2, 3))
+        out = fn(xin, params, cfg, l)
+        if l is not None:
+            out = out[:, :l]
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(loss)(p, cfg_x, x)
+    for remat in (False, True):
+        g_fus = jax.grad(loss)(p, cfg_f, x_pad, 37, remat)
+        flat_f = dict(jax.tree_util.tree_flatten_with_path(g_fus)[0])
+        for path, val in jax.tree_util.tree_flatten_with_path(g_ref)[0]:
+            np.testing.assert_allclose(
+                np.asarray(flat_f[path]), np.asarray(val), rtol=2e-4, atol=2e-4,
+                err_msg=f"remat={remat} {path}",
+            )
+
+    gx_ref = jax.grad(lambda xin: loss(p, cfg_x, xin))(x)
+    gx_fus = jax.grad(lambda xin: loss(p, cfg_f, xin, 37))(x_pad)[:, :37]
+    np.testing.assert_allclose(
+        np.asarray(gx_fus), np.asarray(gx_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_mpnet_post_matches_unfused_fwd_and_grads():
+    """TextConfig.fuse_post routes the o-proj+add+LN+MLP+add+LN chain
+    through fused_mpnet_post_vjp; value and every gradient must match
+    the unfused mpnet_layer, including under remat."""
+    import dataclasses as dc
+
+    from radzero_tpu.models.configuration import TextConfig
+    from radzero_tpu.models.mpnet import init_mpnet, mpnet_forward
+
+    cfg_u = TextConfig(hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=128,
+                       vocab_size=120, fuse_post=False)
+    cfg_f = dc.replace(cfg_u, fuse_post=True)
+    params = init_mpnet(jax.random.PRNGKey(4), cfg_u)
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(3, 120, (4, 13)), jnp.int32)
+    mask = jnp.asarray(
+        np.stack([np.arange(13) < n for n in (13, 9, 5, 11)]), jnp.int32
+    )
+
+    def loss(p, cfg, remat=False):
+        h = mpnet_forward(p, cfg, ids, mask, remat=remat)
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    ref = mpnet_forward(params, cfg_u, ids, mask)
+    out = mpnet_forward(params, cfg_f, ids, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(loss)(params, cfg_u)
+    for remat in (False, True):
+        g_fus = jax.grad(loss)(params, cfg_f, remat)
+        flat_f = dict(jax.tree_util.tree_flatten_with_path(g_fus)[0])
+        for path, val in jax.tree_util.tree_flatten_with_path(g_ref)[0]:
+            np.testing.assert_allclose(
+                np.asarray(flat_f[path]), np.asarray(val), rtol=5e-4, atol=5e-4,
+                err_msg=f"remat={remat} {path}",
+            )
