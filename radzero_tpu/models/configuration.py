@@ -89,10 +89,10 @@ class AlignConfig:
     # layer: ln1+packed-QKV and proj+res+ln2+MLP+res each run as one
     # Pallas kernel pair with custom backwards (ops/fused_layer.py) —
     # no LN/GELU intermediates in HBM in either pass. Measured full
-    # train step at the flagship recipe (batch 64 x 1408 x 768, bf16,
-    # L64 slots): 122.9 samples/s vs 115.1 (packed) with remat, 115.3
-    # vs 103.1 without. These are the TRAINABLE layers, so unlike the
-    # frozen tower they need the VJP variants of the fused kernels.
+    # train step at the flagship recipe (batch 64, bf16 + remat,
+    # tools/bench_train.py): 114.5 samples/s vs 112.0 (packed) at the
+    # L64 slot. These are the TRAINABLE layers, so unlike the frozen
+    # tower they need the VJP variants of the fused kernels.
     attn_impl: str = "fused_vjp"
 
     def as_vit(self) -> ViTConfig:
@@ -148,8 +148,12 @@ class TextConfig:
     # (ops/fused_layer.py:fused_mpnet_post_vjp): the (S*L, 4D) GELU
     # intermediates and both LN activations never touch HBM in either
     # pass, and the backward recomputes them blockwise in VMEM. Unlike
-    # pack_qkv/flash this moves no weights and changes no layouts, so it
-    # has no per-step HBM downside at small L.
+    # pack_qkv/flash this moves no weights and changes no layouts.
+    # Measured full train step (tools/bench_train.py, batch 64, bf16 +
+    # remat): WINS at the bucketed L32 recipe real MIMIC sentences land
+    # in (149-151 vs 145.9 samples/s) and loses ~1.5% at the worst-case
+    # full L64 slot (114.5 vs 116.4); default on because the flagship
+    # preset buckets to [16, 32].
     fuse_post: bool = True
 
     @property
