@@ -250,8 +250,15 @@ def dicom_read(path: str) -> Tuple[np.ndarray, Dict]:
     if "PixelDataFragments" in attrs:
         frags = attrs["PixelDataFragments"]
         # first fragment is the Basic Offset Table (may be empty)
-        payload = b"".join(frags[1:]) if len(frags) > 1 else frags[0]
         if ts == _RLE:
+            # RLE mandates exactly one fragment per frame (PS3.5 G.2):
+            # >1 data fragment means a multi-frame file — fail loudly
+            # rather than silently return frame 0
+            if len(frags) > 2:
+                raise NotImplementedError(
+                    f"multi-frame RLE DICOM ({len(frags) - 1} frames) "
+                    "unsupported by the built-in reader; install pydicom"
+                )
             arr = _decode_rle_frame(
                 frags[1] if len(frags) > 1 else frags[0],
                 attrs["Rows"], attrs["Columns"],
@@ -259,10 +266,14 @@ def dicom_read(path: str) -> Tuple[np.ndarray, Dict]:
                 attrs.get("SamplesPerPixel", 1),
                 attrs.get("PixelRepresentation", 0) == 1,
             )
-        elif ts in (_J2K_LOSSLESS, _J2K):
-            arr = _decode_j2k_fragment(payload)
         else:
-            arr = _decode_jpeg_fragment(payload)
+            # JPEG/J2K codestreams may span fragments: join them (only
+            # here — the RLE branch never reads the joined payload)
+            payload = b"".join(frags[1:]) if len(frags) > 1 else frags[0]
+            if ts in (_J2K_LOSSLESS, _J2K):
+                arr = _decode_j2k_fragment(payload)
+            else:
+                arr = _decode_jpeg_fragment(payload)
         if arr.ndim == 3 and attrs.get("SamplesPerPixel", 1) == 1:
             arr = arr[..., 0]
         return arr, attrs

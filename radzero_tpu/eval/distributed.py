@@ -59,6 +59,34 @@ def agree_run_id(process_index: int, process_count: int) -> Optional[str]:
         return None
 
 
+def _params_digest(scorer) -> str:
+    """Deterministic fingerprint of the scorer's model state: per-leaf
+    shape/dtype plus the leading 64 elements (sliced on device — only a
+    few KB ever cross to host). Used by the fallback run token so that
+    re-evaluating into the same dir after further training — which
+    changes essentially every trainable leaf — can never merge a stale
+    part produced by a DIFFERENT model state. Parts from an identical
+    state carry bit-identical metrics, so matching them is harmless."""
+    import numpy as np
+
+    params = getattr(scorer, "params", None)
+    if params is None:
+        return "no-params"
+    import jax
+
+    h = hashlib.sha1()
+    for leaf in jax.tree.leaves(params):
+        try:
+            head = leaf.reshape(-1)[:64] if hasattr(leaf, "reshape") else leaf
+            a = np.asarray(head)
+            h.update(str(getattr(leaf, "shape", ())).encode())
+            h.update(str(a.dtype).encode())
+            h.update(a.tobytes())
+        except Exception:
+            h.update(repr(leaf).encode())
+    return h.hexdigest()[:16]
+
+
 def partition_datasets(names: Sequence[str], process_index: int,
                        process_count: int) -> List[str]:
     """Deterministic strided slice of a dataset list (same pattern as
@@ -181,11 +209,17 @@ class DistributedInference:
         run_id = self.run_id
         if run_id is None:
             # explicitly-constructed ranks with no caller token (tests,
-            # manual launchers): a deterministic config fingerprint —
-            # every rank of the same launch computes the same value, and
-            # a changed registry or world size invalidates old parts
+            # manual launchers): a deterministic fingerprint of (task,
+            # registry, world size, MODEL STATE) — every rank of the
+            # same launch computes the same value; a changed registry,
+            # world size, or checkpoint invalidates old parts. The model
+            # digest is what makes "re-eval the same dir after further
+            # training" safe without a broadcast: a leftover part can
+            # only match if it was produced by an identical model state,
+            # in which case its metrics are bit-identical anyway.
             run_id = hashlib.sha1(
-                f"{task}|{','.join(full_list)}|{self.process_count}".encode()
+                f"{task}|{','.join(full_list)}|{self.process_count}|"
+                f"{_params_digest(scorer)}".encode()
             ).hexdigest()[:16]
         mine = partition_datasets(full_list, self.process_index, self.process_count)
         lists = {"classification": [], "grounding": [], "segmentation": []}

@@ -144,6 +144,37 @@ def vit_embed(params: dict, cfg: ViTConfig, pixel_values: jnp.ndarray, dtype) ->
     return x + pos.astype(dtype)
 
 
+def _packed_qkv_params(a: dict, dtype=None):
+    """Concatenate per-head q/k/v projections into the packed
+    [q | k | v] layout the fused/packed attention kernels consume.
+    ``dtype=None`` keeps the stored dtype (serving params are already in
+    the compute dtype); trainable paths pass the compute dtype so the
+    cast sits on the tape like the unfused ``linear`` path."""
+    wqkv = jnp.concatenate(
+        [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
+    )
+    bqkv = jnp.concatenate([a["q"]["bias"], a["k"]["bias"], a["v"]["bias"]])
+    if dtype is not None:
+        wqkv, bqkv = wqkv.astype(dtype), bqkv.astype(dtype)
+    return wqkv, bqkv
+
+
+def _attn_packed(qkv: jnp.ndarray, n_heads: int, real_len, attn_fn) -> jnp.ndarray:
+    """Call a packed-layout attention kernel, lane-padding first when a
+    standalone (unpadded) sequence arrives: the kernels require
+    L % 128 == 0 with padded key columns masked via the real length.
+    This is the single pad/mask guard shared by the serving ('fused')
+    and trainable ('fused_vjp'/'packed') paths — e.g. an alt vision
+    tower (CLIP L=577, SAM L=4097) feeding a fused align adapter lands
+    here with real_len=None and a non-lane-aligned L."""
+    l = qkv.shape[1]
+    if real_len is None and l % 128 != 0:
+        lp = (l + 127) // 128 * 128
+        qkv = jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
+        return attn_fn(qkv, n_heads, l)[:, :l]
+    return attn_fn(qkv, n_heads, real_len)
+
+
 def dinov2_layer_fused(
     x: jnp.ndarray, p: dict, cfg: ViTConfig, real_len: int = None
 ) -> jnp.ndarray:
@@ -160,17 +191,14 @@ def dinov2_layer_fused(
 
     b, l, d = x.shape
     x2 = x.reshape(b * l, d)
+    wqkv, bqkv = _packed_qkv_params(p["attn"])
     a = p["attn"]
-    wqkv = jnp.concatenate(
-        [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
-    )
-    bqkv = jnp.concatenate([a["q"]["bias"], a["k"]["bias"], a["v"]["bias"]])
     qkv = fused_preattn(
         x2, p["ln1"]["scale"], p["ln1"]["bias"], wqkv, bqkv,
         eps=cfg.layer_norm_eps,
     ).reshape(b, l, 3 * d)
-    attn_out = flash_attention_packed(
-        qkv, cfg.num_attention_heads, kv_len=real_len
+    attn_out = _attn_packed(
+        qkv, cfg.num_attention_heads, real_len, flash_attention_packed
     )
     out = fused_postattn(
         x2, attn_out.reshape(b * l, d),
@@ -204,27 +232,15 @@ def dinov2_layer(
         b, l, d = x.shape
         cdt = x.dtype
         a = p["attn"]
-        wqkv = jnp.concatenate(
-            [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
-        ).astype(cdt)
-        bqkv = jnp.concatenate(
-            [a["q"]["bias"], a["k"]["bias"], a["v"]["bias"]]
-        ).astype(cdt)
+        wqkv, bqkv = _packed_qkv_params(a, cdt)
         x2 = x.reshape(b * l, d)
         qkv = fused_preattn_vjp(
             x2, p["ln1"]["scale"].astype(cdt), p["ln1"]["bias"].astype(cdt),
             wqkv, bqkv, cfg.layer_norm_eps,
         ).reshape(b, l, 3 * d)
-        if real_len is None and l % 128 != 0:
-            lp = (l + 127) // 128 * 128
-            qkv = jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
-            attn_out = flash_attention_packed_vjp(
-                qkv, cfg.num_attention_heads, l, None
-            )[:, :l]
-        else:
-            attn_out = flash_attention_packed_vjp(
-                qkv, cfg.num_attention_heads, real_len, None
-            )
+        attn_out = _attn_packed(
+            qkv, cfg.num_attention_heads, real_len, flash_attention_packed_vjp
+        )
         out = fused_postattn_vjp(
             x2, attn_out.reshape(b * l, d),
             a["o"]["kernel"].astype(cdt), a["o"]["bias"].astype(cdt),
@@ -243,23 +259,11 @@ def dinov2_layer(
         # round trips in forward, backward, or the remat recompute
         from radzero_tpu.ops.fused_layer import flash_attention_packed_vjp
 
-        ap = p["attn"]
-        wqkv = jnp.concatenate(
-            [ap["q"]["kernel"], ap["k"]["kernel"], ap["v"]["kernel"]], axis=1
-        ).astype(h.dtype)
-        bqkv = jnp.concatenate(
-            [ap["q"]["bias"], ap["k"]["bias"], ap["v"]["bias"]]
-        ).astype(h.dtype)
+        wqkv, bqkv = _packed_qkv_params(p["attn"], h.dtype)
         qkv = jnp.dot(h, wqkv) + bqkv
-        l = qkv.shape[1]
-        if real_len is None and l % 128 != 0:
-            # standalone use on an unpadded sequence: pad to lanes here
-            lp = (l + 127) // 128 * 128
-            qkv = jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
-            a = flash_attention_packed_vjp(qkv, cfg.num_attention_heads, l, None)
-            a = a[:, :l]
-        else:
-            a = flash_attention_packed_vjp(qkv, cfg.num_attention_heads, real_len, None)
+        a = _attn_packed(
+            qkv, cfg.num_attention_heads, real_len, flash_attention_packed_vjp
+        )
     else:
         q = split_heads(linear(h, p["attn"]["q"]), cfg.num_attention_heads)
         k = split_heads(linear(h, p["attn"]["k"]), cfg.num_attention_heads)
@@ -366,6 +370,14 @@ def vit_forward(
         x, real_len = pad_seq_to_lanes(x)
     if cfg.token_filter_ratio > 0.0:
         k = cfg.token_filter_layer
+        if not 0 <= k < cfg.num_hidden_layers:
+            # jax.tree.map(lambda a: a[k], ...) would silently CLAMP an
+            # out-of-range static index to the last layer — make the
+            # misconfiguration loud instead
+            raise ValueError(
+                f"token_filter_layer={k} out of range for "
+                f"num_hidden_layers={cfg.num_hidden_layers}"
+            )
         layers = params["layers"]
         head = jax.tree.map(lambda a: a[:k], layers)
         tail = jax.tree.map(lambda a: a[k:], layers)

@@ -291,8 +291,13 @@ def flash_attention_bias(
 ) -> jnp.ndarray:
     """Flash attention with a batch-shared additive bias (differentiable:
     the backward kernel accumulates d(bias) over the batch in VMEM) and a
-    per-row additive key-padding mask (gradient identically zero — masked
-    columns carry zero probability, so zeros are returned for it).
+    per-row additive key-padding mask.
+
+    ``neg_mask`` is NON-DIFFERENTIABLE by contract: it must be a
+    structural padding mask (0 real / big-negative pad), never a
+    function of trained values — its cotangent is pinned to zero.
+    Route any learned/soft additive term through ``bias``, whose
+    gradient is exact.
 
     softmax(q k^T * scale + bias + neg_mask) v, fp32 scores.
     """
@@ -479,7 +484,14 @@ def _bwd_b(scale, stable, kv_len, residuals, g):
         from_bh(dk, k.dtype),
         from_bh(dv, v.dtype),
         dbias[:, :l, :l].astype(bias.dtype),
-        jnp.zeros_like(neg_mask),  # masked columns carry zero probability
+        # neg_mask is CONTRACTUALLY non-differentiable: it must be a
+        # structural padding mask (entries 0 or -big, not a function of
+        # trained values). Its cotangent is pinned to zero — exact for
+        # the -big columns (zero probability); for the 0 entries the
+        # true gradient (sum_{h,i} dS) is deliberately not computed.
+        # A learned/soft additive mask must go through `bias` (whose
+        # gradient IS exact) instead.
+        jnp.zeros_like(neg_mask),
     )
 
 

@@ -373,11 +373,13 @@ def fused_preattn_vjp(x, ln_scale, ln_bias, w_qkv, b_qkv, eps=1e-6):
 
 def _preattn_vjp_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, eps):
     out = fused_preattn(x, ln_scale, ln_bias, w_qkv, b_qkv, eps=eps)
-    return out, (x, ln_scale, ln_bias, w_qkv)
+    # b_qkv rides along only so the bwd can emit its cotangent in the
+    # right dtype when b_qkv and w_qkv differ (mixed-precision callers)
+    return out, (x, ln_scale, ln_bias, w_qkv, b_qkv)
 
 
 def _preattn_vjp_bwd(eps, res, g, *, block_n=512):
-    x, ln_scale, ln_bias, w_qkv = res
+    x, ln_scale, ln_bias, w_qkv, b_qkv = res
     n, d = x.shape
     d3 = w_qkv.shape[1]
     n_pad = (n + block_n - 1) // block_n * block_n
@@ -422,7 +424,7 @@ def _preattn_vjp_bwd(eps, res, g, *, block_n=512):
         dls[0].astype(ln_scale.dtype),
         dlb[0].astype(ln_bias.dtype),
         dw.astype(w_qkv.dtype),
-        db[0].astype(w_qkv.dtype),
+        db[0].astype(b_qkv.dtype),
     )
 
 

@@ -71,11 +71,13 @@ def _make_dicom(pixels: np.ndarray, photometric: str, transfer_syntax: str,
     body += el(0x0028, 0x0100, b"US", _us(bits))
     body += el(0x0028, 0x0103, b"US", _us(0))
     if jpeg_bytes is not None:
-        # encapsulated: undefined length + offset table + one fragment
-        frag = jpeg_bytes + (b"\x00" if len(jpeg_bytes) % 2 else b"")
+        # encapsulated: undefined length + offset table + fragment(s)
+        frag_list = jpeg_bytes if isinstance(jpeg_bytes, list) else [jpeg_bytes]
         px = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" + struct.pack("<I", 0xFFFFFFFF)
         px += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty offset table
-        px += struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag
+        for fb in frag_list:
+            frag = fb + (b"\x00" if len(fb) % 2 else b"")
+            px += struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag
         px += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
         body += px
     else:
@@ -180,3 +182,20 @@ def test_parse_rle_encapsulated_16bit(tmp_path):
                               jpeg_bytes=frag))
     arr, attrs = dicom_read(str(p))
     np.testing.assert_array_equal(arr, px)
+
+
+def test_multiframe_rle_raises(tmp_path):
+    """RLE mandates one fragment per frame (PS3.5 G.2): a 2-fragment
+    file is multi-frame and must fail loudly, not return frame 0."""
+    import pytest
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (4, 6)).astype(np.uint8)
+    seg = _packbits_encode(px.tobytes())
+    header = struct.pack("<16I", 1, 64, *([0] * 14))
+    frag = header + seg
+    p = tmp_path / "rle_mf.dcm"
+    p.write_bytes(_make_dicom(px, "MONOCHROME2", "1.2.840.10008.1.2.5",
+                              jpeg_bytes=[frag, frag]))
+    with pytest.raises(NotImplementedError, match="multi-frame RLE"):
+        dicom_read(str(p))

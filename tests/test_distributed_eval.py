@@ -131,3 +131,57 @@ def test_two_process_eval_matches_serial(data_root, scorer, tmp_path):
     assert json.load(open(d_dir / "det" / "result.json")) == json.loads(
         json.dumps(dist_det)
     )
+
+
+def test_params_digest_distinguishes_model_states(scorer):
+    """The fallback run token fingerprints the MODEL STATE: re-eval of a
+    further-trained checkpoint into the same dir must never match a
+    stale part (the old fingerprint of task|registry|world-size collided
+    across sequential runs with the same config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from radzero_tpu.eval.distributed import _params_digest
+
+    d1 = _params_digest(scorer)
+    assert d1 == _params_digest(scorer)  # deterministic
+
+    leaves, treedef = jax.tree.flatten(scorer.params)
+    idx = next(
+        i for i, l in enumerate(leaves)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+    )
+    leaves = list(leaves)
+    leaves[idx] = leaves[idx] + 1.0  # one training step's worth of drift
+
+    class S:
+        params = jax.tree.unflatten(treedef, leaves)
+
+    assert _params_digest(S()) != d1
+
+    class N:
+        params = None
+
+    assert _params_digest(N()) == "no-params"
+
+
+def test_fallback_run_id_ignores_parts_from_other_model_state(
+    data_root, scorer, tmp_path, monkeypatch
+):
+    """Integration: a part published by rank 1 under checkpoint A must
+    read as stale to a rank-0 merge running checkpoint B, even with an
+    identical dataset registry and world size."""
+    import radzero_tpu.eval.distributed as dist_mod
+
+    d = tmp_path / "cls"
+    monkeypatch.setattr(dist_mod, "_params_digest", lambda s: "ckpt-old")
+    r1 = _dist(data_root, 1, 2)
+    assert r1.classification(scorer, str(d)) is None  # part published
+
+    monkeypatch.setattr(dist_mod, "_params_digest", lambda s: "ckpt-new")
+    r0 = DistributedInference(
+        ["Chexpert"], [], [], data_root, batch_size=4,
+        process_index=0, process_count=2, merge_timeout_s=1.0,
+    )
+    with pytest.raises(TimeoutError, match="stale"):
+        r0.classification(scorer, str(d))

@@ -103,6 +103,84 @@ def test_fused_kernels_odd_rows_padded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref2), rtol=2e-5, atol=2e-5)
 
 
+def test_attn_packed_pads_unaligned_standalone_seq():
+    """The shared pad/mask guard: a standalone (real_len=None) sequence
+    with non-lane-aligned L must reach the packed kernels lane-padded
+    with the real length as the key mask — the alt-vision-tower ->
+    fused align adapter path (CLIP L=577, SAM L=4097) lands here."""
+    from radzero_tpu.models.vit import _attn_packed
+
+    calls = {}
+
+    def fake(qkv, n_heads, kv_len):
+        calls["shape"], calls["kv_len"] = qkv.shape, kv_len
+        return qkv[..., : qkv.shape[-1] // 3]
+
+    out = _attn_packed(jnp.zeros((2, 37, 48)), 4, None, fake)
+    assert calls["shape"] == (2, 128, 48) and calls["kv_len"] == 37
+    assert out.shape == (2, 37, 16)
+
+    # lane-aligned standalone and pre-padded sequences pass through
+    _attn_packed(jnp.zeros((2, 128, 48)), 4, None, fake)
+    assert calls["shape"] == (2, 128, 48) and calls["kv_len"] is None
+    _attn_packed(jnp.zeros((2, 128, 48)), 4, 100, fake)
+    assert calls["kv_len"] == 100
+
+
+def test_all_packed_impls_handle_unaligned_standalone_seq():
+    """Every packed/fused layer impl must produce xla-parity output when
+    handed an unpadded, non-lane-aligned sequence with real_len=None."""
+    cfg_x = ViTConfig(hidden_size=64, num_hidden_layers=1, num_attention_heads=4,
+                      mlp_ratio=2.0, patch_size=14, pretrain_img_size=28,
+                      img_size=28, attn_impl="xla")
+    p = _layer_params(jax.random.PRNGKey(3), cfg_x)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 37, 64)), jnp.float32)
+    ref = dinov2_layer(x, p, cfg_x)
+    for impl in ("fused", "fused_vjp", "packed"):
+        cfg = dataclasses.replace(cfg_x, attn_impl=impl)
+        out = dinov2_layer(x, p, cfg)  # real_len=None, L % 128 != 0
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+            err_msg=impl,
+        )
+
+
+def test_preattn_vjp_mixed_dtype_bias_cotangent():
+    """b_qkv's cotangent must come back in b_qkv's dtype even when it
+    differs from w_qkv's (mixed-precision callers)."""
+    from radzero_tpu.ops.fused_layer import fused_preattn_vjp
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((8, 16)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((16, 48)) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((48,)) * 0.1, jnp.float32)
+    s = jnp.ones((16,), jnp.bfloat16)
+    lb = jnp.zeros((16,), jnp.bfloat16)
+
+    def loss(x, s, lb, w, b):
+        return jnp.sum(fused_preattn_vjp(x, s, lb, w, b, 1e-6).astype(jnp.float32))
+
+    g = jax.grad(loss, argnums=(3, 4))(x, s, lb, w, b)
+    assert g[0].dtype == jnp.bfloat16  # dw follows w_qkv
+    assert g[1].dtype == jnp.float32   # db follows b_qkv
+
+
+def test_token_filter_layer_out_of_range_raises():
+    """jax.tree.map(lambda a: a[k]) silently clamps an out-of-range
+    static index — the config check must make it loud instead."""
+    import pytest
+
+    cfg = ViTConfig(hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+                    mlp_ratio=2.0, patch_size=14, pretrain_img_size=28,
+                    img_size=28, attn_impl="xla", token_filter_ratio=0.25,
+                    token_filter_layer=6)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    pv = jnp.zeros((1, 28, 28, 3), jnp.float32)
+    with pytest.raises(ValueError, match="token_filter_layer"):
+        vit_forward(params, cfg, pv)
+
+
 def test_token_filter_shapes_and_cls_kept():
     """Opt-in attention-aware token filtering: output grid shape is
     unchanged (dropped rows scattered back as zeros pre-final-LN), CLS
