@@ -128,10 +128,32 @@ def main() -> None:
     if cfg["args"]["train"]:
         datasets = load_datasets(cfg["dataset"], train=True)
         loader = pil_image_loader(image_processor)
+
+        # opt-in frozen-tower activation cache (train/tower_cache.py):
+        # train.tower_cache: "ram" | {"backing": "memmap", "path": ...}
+        tower_cache = None
+        tc_cfg = cfg["train"].get("tower_cache")
+        if tc_cfg:
+            from radzero_tpu.train.tower_cache import TowerCache
+
+            if isinstance(tc_cfg, str):
+                tc_cfg = {"backing": tc_cfg}
+            if tc_cfg.get("backing") == "memmap":
+                import os as _os
+
+                tower_cache = TowerCache(
+                    "memmap",
+                    path=tc_cfg.get("path") or _os.path.join(output_dir, "tower_cache"),
+                    n_records=len(datasets["train"]),
+                )
+            else:
+                tower_cache = TowerCache("ram")
+
         train_loader = TrainLoader(
             datasets["train"], loader, tokenizer,
             cfg["train"]["per_device_train_batch_size"] * mesh.devices.size,
             spec, seed=cfg["train"].get("seed", 42),
+            with_indices=tower_cache is not None,
         )
         eval_loader = TrainLoader(
             datasets["eval"], loader, tokenizer,
@@ -160,7 +182,8 @@ def main() -> None:
             report_to=cfg["experiment"].get("report_to", "none"),
         )
         trainer = RadZeroTrainer(
-            model_cfg, targs, train_loader, eval_loader, params=params, mesh=mesh
+            model_cfg, targs, train_loader, eval_loader, params=params, mesh=mesh,
+            tower_cache=tower_cache,
         )
         resume = cfg["args"].get("resume_from_checkpoint")
         if resume is None:

@@ -118,6 +118,7 @@ class TrainLoader:
         process_index: int = 0,
         process_count: int = 1,
         echo: int = 1,
+        with_indices: bool = False,
     ):
         """Multi-host sharding (``process_count > 1``): every process
         draws the SAME deterministic global shuffle (seed + epoch), then
@@ -130,7 +131,12 @@ class TrainLoader:
         ``echo > 1``: data echoing for host-bound phases — each decoded
         batch is yielded ``echo`` times back-to-back (the device takes
         extra optimizer steps on data the host already paid to decode;
-        Choi et al. 2019). Counts toward __len__ and the LR schedule."""
+        Choi et al. 2019). Counts toward __len__ and the LR schedule.
+
+        ``with_indices``: add ``record_indices`` (B,) int64 — each
+        batch row's index into ``records`` — to every packed batch.
+        HOST-ONLY metadata (the trainer pops it before device upload);
+        keys the frozen-tower activation cache (train/tower_cache.py)."""
         self.records = records
         self.image_loader = image_loader
         self.tokenizer = tokenizer
@@ -174,6 +180,7 @@ class TrainLoader:
         if echo < 1:
             raise ValueError("echo must be >= 1")
         self.echo = echo
+        self.with_indices = with_indices
         self.epoch = 0
 
     def _global_usable(self) -> int:
@@ -194,12 +201,12 @@ class TrainLoader:
                 n += 1
         return n * self.echo
 
-    def _batches(self, order: np.ndarray) -> Iterator[List[dict]]:
+    def _batches(self, order: np.ndarray) -> Iterator[tuple]:
         for start in range(0, len(order), self.batch_size):
             chunk = order[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
-            yield [self.records[i] for i in chunk]
+            yield chunk, [self.records[i] for i in chunk]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         # eval loaders (shuffle=False) keep a fixed rng so sentence
@@ -220,12 +227,14 @@ class TrainLoader:
 
         def producer():
             with cf.ThreadPoolExecutor(self.num_threads) as pool:
-                for recs in self._batches(order):
+                for chunk, recs in self._batches(order):
                     imgs = np.stack(list(pool.map(self.image_loader, recs)))
                     packed = pack_batch(
                         recs, imgs, self.tokenizer, self.spec, rng,
                         global_offset=offset,
                     )
+                    if self.with_indices:
+                        packed["record_indices"] = np.asarray(chunk, np.int64)
                     for _ in range(self.echo):
                         q.put(packed)
             q.put(sentinel)

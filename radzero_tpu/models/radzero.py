@@ -108,11 +108,12 @@ def init_radzero(
 def forward_vision(
     params: dict,
     cfg: RadZeroConfig,
-    pixel_values: jnp.ndarray,  # (B, H, W, 3) NHWC float
+    pixel_values: Optional[jnp.ndarray],  # (B, H, W, 3) NHWC float
     *,
     dtype=jnp.float32,
     remat: bool = False,
     stop_tower_gradient: bool = False,
+    tower_tokens: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Vision tower + align adapter + pooled image features
     (ref modeling.py:96-123). The tower dispatches on
@@ -121,12 +122,26 @@ def forward_vision(
     ref build_vision_encoder, vision_encoders.py:23-43).
 
     ``stop_tower_gradient`` cuts the tape between the (frozen) tower and
-    the trainable align adapter, so autodiff keeps no tower residuals."""
+    the trainable align adapter, so autodiff keeps no tower residuals.
+
+    ``tower_tokens``: precomputed tower output (B, L[, padded], D) —
+    skips the tower entirely (the frozen-tower activation cache,
+    train/tower_cache.py). Tokens must come from ``make_tower_fn`` with
+    the same config; a lane-padded L is recognised against the
+    cfg-derived real length (inputs are processor-resized to
+    ``cfg.vision.img_size``, so the real token count is static)."""
     from radzero_tpu.models.align import build_align_adapter
 
     model_type = getattr(cfg.vision, "model_type", "dinov2")
     real_len = None
-    if model_type in ("dinov2", "raddino"):
+    if tower_tokens is not None:
+        tokens = tower_tokens
+        if model_type in ("dinov2", "raddino"):
+            p = cfg.vision.patch_size
+            l_real = 1 + (cfg.vision.img_size // p) ** 2
+            if tokens.shape[1] != l_real:
+                real_len = l_real
+    elif model_type in ("dinov2", "raddino"):
         # persistent lane padding: pad once before the 12-layer tower,
         # keep it through the align adapter, slice once after
         keep_padded = getattr(cfg.vision, "attn_impl", "xla") in (
@@ -236,7 +251,10 @@ def forward_train(
     (ref modeling.py:213-276).
 
     batch keys:
-        pixel_values         (B, H, W, 3)
+        pixel_values         (B, H, W, 3)   — or ``tower_tokens``
+                             (B, L[, padded], D) precomputed frozen-tower
+                             output (train/tower_cache.py), which skips
+                             the vision tower
         input_ids            (S, L)   flattened sentences, global order
         attention_mask       (S, L)
         group_map            (S,)     global image index per sentence
@@ -247,8 +265,9 @@ def forward_train(
     """
     loss_ratio = loss_ratio or {name: 1.0 for name in params["loss_fns"]}
     vision = forward_vision(
-        params, cfg, batch["pixel_values"], dtype=dtype, remat=remat,
+        params, cfg, batch.get("pixel_values"), dtype=dtype, remat=remat,
         stop_tower_gradient=stop_vision_gradient,
+        tower_tokens=batch.get("tower_tokens"),
     )
 
     losses: Dict[str, jnp.ndarray] = {}

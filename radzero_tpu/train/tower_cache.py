@@ -1,0 +1,181 @@
+"""Frozen-tower activation cache: skip the vision tower after epoch 1.
+
+Under the reference finetune policy the vision tower is FROZEN and
+training augmentation is disabled (ref configs/radzero.yaml:50,
+model/processing.py:170-174), so the tower's output tokens for a given
+image are identical in every epoch — yet the reference recomputes the
+full ViT forward for all 20 epochs (exp/cxr_pt/run.py training loop).
+On the flagship recipe that forward is ~35% of the train step
+(BASELINE.md train-step roofline: 163 ms of 464 ms at batch 64).
+
+This cache stores the tower's output tokens per *record index* on the
+host after their first computation and feeds them back on later
+epochs, replacing ``pixel_values`` with ``tower_tokens`` in the batch
+(models/radzero.py:forward_train dispatches on the key). The trade is
+HBM-compute for host<->device bandwidth + host memory:
+
+Measured on the v5e chip at the flagship recipe (batch 64, bf16,
+remat, fused frozen tower — ``tools/bench_train.py --tower-cache``):
+
+    | step                 | L64 slot        | L32 bucket      |
+    |----------------------|-----------------|-----------------|
+    | full train step      | 108.3 samp/s    | 150.9 samp/s    |
+    | cached step (no tower)| 159.4 (+47%)   | 240.6 (+59%)    |
+    | tower forward alone  | 192.8 ms        | (same)          |
+
+Costs:
+- tokens are (L_pad, D) bf16 per image — 2.16 MB at the flagship
+  1408 x 768 shape; a 240k-image MIMIC-CXR epoch is ~520 GB, which fits
+  ``backing="memmap"`` on NVMe (read ~5 GB/s -> ~28 ms/batch-64 vs
+  192.8 ms of recompute) but NOT host RAM; small/medium datasets can
+  use ``backing="ram"``.
+- upload becomes 64 x 1408 x 768 bf16 = 138.4 MB tokens/batch instead
+  of pixels. Break-even host->device bandwidth is 138.4 MB per 190 ms
+  of recompute saved ~= 0.75 GB/s: any PCIe-attached host clears it
+  (~16 GB/s -> ~9 ms/batch, keeping nearly the full +47-59%); the
+  60 MB/s bench tunnel here does NOT (2.3 s/batch — recompute wins).
+  The feature is therefore OPT-IN (``RadZeroTrainer(tower_cache=...)``,
+  ``train.tower_cache`` in YAML), with the break-even documented
+  rather than assumed.
+- epoch 1 pays the tower once per batch anyway (cached step + tower
+  forward ~= the full step), so enabling the cache never costs time.
+
+Numerics: the cache's tower function is built from the SAME config
+(including the trainer's frozen-tower fused-layer substitution) and
+dtype the train step would use, and bf16/fp32 tokens round-trip host
+memory bit-exactly — so epochs 2+ are bit-identical to epoch 1 of the
+cached run. Cached vs UNCACHED runs agree to float tolerance only (the
+tower sits in a different XLA program, so fusion boundaries differ);
+tests/test_tower_cache.py pins both properties.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+
+class TowerCache:
+    """Host-side store of frozen-tower tokens keyed by record index.
+
+    ``backing="ram"``: a dict of per-record arrays — any dataset size
+    the host's memory allows, zero configuration.
+    ``backing="memmap"``: one preallocated ``tokens.dat`` under ``path``
+    (requires ``n_records``) plus an in-RAM presence bitmap — for
+    datasets larger than host RAM; the file is reusable across runs of
+    the same (checkpoint, processor) pair but is NOT validated against
+    them, so point ``path`` at a run-scoped directory unless you know
+    the tower inputs are unchanged.
+    """
+
+    def __init__(
+        self,
+        backing: str = "ram",
+        *,
+        path: Optional[str] = None,
+        n_records: Optional[int] = None,
+    ):
+        if backing not in ("ram", "memmap"):
+            raise ValueError(f"backing must be 'ram' or 'memmap', got {backing!r}")
+        if backing == "memmap" and (path is None or n_records is None):
+            raise ValueError("memmap backing requires path= and n_records=")
+        self.backing = backing
+        self.path = path
+        self.n_records = n_records
+        self._ram: Dict[int, np.ndarray] = {}
+        self._mm: Optional[np.memmap] = None
+        self._present: Optional[np.ndarray] = None
+        self.hits = 0
+        self.misses = 0
+
+    # ------------------------------------------------------------------
+    def _ensure_memmap(self, token_shape, dtype) -> None:
+        if self._mm is not None:
+            return
+        os.makedirs(self.path, exist_ok=True)
+        fn = os.path.join(self.path, "tokens.dat")
+        self._mm = np.memmap(
+            fn, dtype=dtype, mode="w+", shape=(self.n_records, *token_shape)
+        )
+        self._present = np.zeros((self.n_records,), bool)
+
+    def put(self, indices: np.ndarray, tokens: np.ndarray) -> None:
+        """Store ``tokens[i]`` under record index ``indices[i]``."""
+        indices = np.asarray(indices)
+        if self.backing == "ram":
+            for i, idx in enumerate(indices):
+                self._ram[int(idx)] = np.array(tokens[i], copy=True)
+            return
+        self._ensure_memmap(tokens.shape[1:], tokens.dtype)
+        self._mm[indices] = tokens
+        self._present[indices] = True
+
+    def get(self, indices: np.ndarray) -> Optional[np.ndarray]:
+        """The stacked tokens for ``indices``, or None unless ALL are
+        present (a partial batch would still need a tower dispatch, so
+        the caller recomputes the whole batch and re-puts)."""
+        indices = np.asarray(indices)
+        if self.backing == "ram":
+            if any(int(i) not in self._ram for i in indices):
+                self.misses += 1
+                return None
+            self.hits += 1
+            return np.stack([self._ram[int(i)] for i in indices])
+        if self._present is None or not self._present[indices].all():
+            self.misses += 1
+            return None
+        self.hits += 1
+        return np.asarray(self._mm[indices])
+
+    # ------------------------------------------------------------------
+    @property
+    def n_cached(self) -> int:
+        if self.backing == "ram":
+            return len(self._ram)
+        return 0 if self._present is None else int(self._present.sum())
+
+    @property
+    def nbytes(self) -> int:
+        if self.backing == "ram":
+            return sum(a.nbytes for a in self._ram.values())
+        return 0 if self._mm is None else self._mm.nbytes
+
+    def stats(self) -> Dict[str, int]:
+        return {
+            "cached_records": self.n_cached,
+            "bytes": self.nbytes,
+            "hits": self.hits,
+            "misses": self.misses,
+        }
+
+
+def make_tower_fn(cfg, *, dtype) -> Callable:
+    """Jitted ``tower(vision_params, pixel_values) -> tokens`` computing
+    exactly the tower output ``forward_vision`` would feed the align
+    adapter (models/radzero.py:129-147), so cached tokens are drop-in
+    replacements for the in-step tower. ``cfg`` must be the trainer's
+    POST-substitution config (the frozen-tower fused-layer swap), and
+    ``dtype`` the step compute dtype."""
+    import jax
+
+    model_type = getattr(cfg.vision, "model_type", "dinov2")
+
+    def tower(vision_params, pixel_values):
+        if model_type in ("dinov2", "raddino"):
+            from radzero_tpu.models.vit import vit_forward
+
+            keep_padded = getattr(cfg.vision, "attn_impl", "xla") in (
+                "flash", "fused", "packed", "fused_vjp",
+            )
+            return vit_forward(
+                vision_params, cfg.vision, pixel_values, dtype=dtype,
+                keep_padded=keep_padded,
+            )
+        from radzero_tpu.models.encoders import build_vision_encoder
+
+        _, vision_apply = build_vision_encoder(model_type)
+        return vision_apply(vision_params, cfg.vision, pixel_values, dtype=dtype)
+
+    return jax.jit(tower)

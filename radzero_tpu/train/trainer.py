@@ -87,7 +87,16 @@ class RadZeroTrainer:
         params: Optional[dict] = None,
         mesh=None,
         metrics_callback: Optional[Callable[[Dict[str, Any]], None]] = None,
+        tower_cache=None,
     ):
+        """``tower_cache``: an optional ``train.tower_cache.TowerCache``.
+        The frozen vision tower's output tokens are computed once per
+        record (first epoch), stored on the host keyed by the loader's
+        ``record_indices``, and fed back as ``tower_tokens`` on later
+        epochs — the train step then never runs the tower. Requires the
+        tower frozen (it is, under the reference policy) and the train
+        loader constructed ``with_indices=True``; see
+        train/tower_cache.py for the bandwidth break-even analysis."""
         self.cfg = model_cfg
         self.args = args
         self.train_loader = train_loader
@@ -118,6 +127,23 @@ class RadZeroTrainer:
                 vision=_dc.replace(model_cfg.vision, attn_impl="fused"),
             )
             self.cfg = model_cfg
+
+        self.tower_cache = tower_cache
+        self._tower_fn = None
+        if tower_cache is not None:
+            if "vision_model" in args.module_to_update:
+                raise ValueError(
+                    "tower_cache requires a frozen vision tower: cached "
+                    "activations would go stale the moment the tower "
+                    "updates (remove 'vision_model' from module_to_update)"
+                )
+            from radzero_tpu.train.tower_cache import make_tower_fn
+
+            # post-substitution cfg + step dtype: cached tokens are
+            # bit-identical to what the in-step tower would produce
+            self._tower_fn = make_tower_fn(
+                model_cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+            )
 
         steps_per_epoch = max(len(train_loader), 1)
         total_steps = steps_per_epoch * args.num_train_epochs
@@ -163,7 +189,34 @@ class RadZeroTrainer:
 
     def _put_batch(self, batch: Dict[str, np.ndarray]) -> dict:
         sharding = batch_sharding(self.mesh)
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {
+            k: jax.device_put(v, sharding)
+            for k, v in batch.items()
+            if k != "record_indices"  # host-only cache key
+        }
+
+    def _resolve_tower(self, batch: Dict[str, np.ndarray]) -> dict:
+        """Swap ``pixel_values`` for cached/freshly-computed
+        ``tower_tokens`` when the activation cache is enabled."""
+        if self.tower_cache is None:
+            return batch
+        idx = batch.get("record_indices")
+        if idx is None:
+            raise ValueError(
+                "tower_cache requires the train loader to emit "
+                "record_indices (TrainLoader(..., with_indices=True))"
+            )
+        batch = dict(batch)
+        pixels = batch.pop("pixel_values")
+        tokens = self.tower_cache.get(idx)
+        if tokens is None:
+            tokens = self._tower_fn(
+                self.frozen["vision_model"],
+                jax.device_put(pixels, batch_sharding(self.mesh)),
+            )
+            self.tower_cache.put(idx, np.asarray(tokens))
+        batch["tower_tokens"] = tokens
+        return batch
 
     # ------------------------------------------------------------------
     def maybe_resume(self, resume_from_checkpoint=None) -> None:
@@ -277,7 +330,8 @@ class RadZeroTrainer:
             running_n = 0
 
             for batch in self.train_loader:
-                n_samples += len(batch["pixel_values"])
+                n_samples += len(batch.get("pixel_values", batch.get("tower_tokens", ())))
+                batch = self._resolve_tower(batch)
                 self.trainable, self.opt_state, losses = self.train_step(
                     self.trainable, self.frozen, self.opt_state, self._put_batch(batch)
                 )

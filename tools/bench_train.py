@@ -74,17 +74,61 @@ def main():
     dt64 = run(64)   # worst case: every sentence fills the static 64 slot
     dt32 = run(32)   # the bucket real MIMIC sentences land in (~20 tokens)
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_step_throughput",
-                "value": round(b / dt64, 1),
-                "unit": "samples/sec/chip",
-                "step_ms": round(dt64 * 1e3, 1),
-                "bucketed_L32_samples_per_sec": round(b / dt32, 1),
+    out = {
+        "metric": "train_step_throughput",
+        "value": round(b / dt64, 1),
+        "unit": "samples/sec/chip",
+        "step_ms": round(dt64 * 1e3, 1),
+        "bucketed_L32_samples_per_sec": round(b / dt32, 1),
+    }
+
+    if "--tower-cache" in sys.argv:
+        # Frozen-tower activation-cache A/B (train/tower_cache.py):
+        # same step fn fed device-resident tower_tokens instead of
+        # pixel_values (epoch-2+ steady state, transfer excluded), the
+        # tower forward alone (the epoch-1 extra), and the token bytes
+        # that must cross host<->device per batch in cached mode.
+        from radzero_tpu.train.tower_cache import make_tower_fn
+
+        tower_fn = make_tower_fn(cfg, dtype=jnp.bfloat16)
+        pixels = jnp.asarray(rng.standard_normal((b, 518, 518, 3)), jnp.float32)
+        tokens = tower_fn(frozen["vision_model"], pixels)
+        tokens.block_until_ready()
+
+        def run_cached(l):
+            batch = {
+                "tower_tokens": tokens,
+                "input_ids": jnp.asarray(rng.integers(3, 30000, (s, l)), jnp.int32),
+                "attention_mask": jnp.ones((s, l), jnp.int32),
+                "group_map": jnp.asarray(np.repeat(np.arange(b), spi), jnp.int32),
+                "row_mask": jnp.ones((s,), jnp.float32),
             }
-        )
-    )
+            t, o, losses = step(state["trainable"], frozen, state["opt_state"], batch)
+            state["trainable"], state["opt_state"] = t, o
+            float(losses["loss"])
+            iters = 5
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                t, o, losses = step(state["trainable"], frozen, state["opt_state"], batch)
+                state["trainable"], state["opt_state"] = t, o
+            float(losses["loss"])
+            return (time.perf_counter() - t0) / iters
+
+        dtc64 = run_cached(64)
+        dtc32 = run_cached(32)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            tower_fn(frozen["vision_model"], pixels).block_until_ready()
+        dt_tower = (time.perf_counter() - t0) / 5
+        out["tower_cache"] = {
+            "cached_step_samples_per_sec": round(b / dtc64, 1),
+            "cached_step_ms": round(dtc64 * 1e3, 1),
+            "cached_bucketed_L32_samples_per_sec": round(b / dtc32, 1),
+            "tower_forward_ms": round(dt_tower * 1e3, 1),
+            "token_bytes_per_batch": int(np.prod(tokens.shape)) * tokens.dtype.itemsize,
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
