@@ -251,11 +251,13 @@ def bench_end_to_end(params, cfg, jnp, n_imgs: int = 192):
             t0 = time.perf_counter()
             pairs = []
             for j in jpegs:
+                # stamp BEFORE submit: queue time inside submit() is part
+                # of the request's latency, and a future that completes
+                # before the callback registers must not record ~0 ms
+                ts = time.perf_counter()
                 fut = engine.submit(j, "cls", want_maps=True)
                 fut.add_done_callback(
-                    lambda f, ts=time.perf_counter(): latencies.append(
-                        time.perf_counter() - ts
-                    )
+                    lambda f, ts=ts: latencies.append(time.perf_counter() - ts)
                 )
                 pairs.append(fut)
             results = [f.result(timeout=600) for f in pairs]

@@ -44,6 +44,7 @@ _KEEP = {
     (0x0002, 0x0010): "TransferSyntaxUID",
     (0x0028, 0x0002): "SamplesPerPixel",
     (0x0028, 0x0004): "PhotometricInterpretation",
+    (0x0028, 0x0008): "NumberOfFrames",
     (0x0028, 0x0010): "Rows",
     (0x0028, 0x0011): "Columns",
     (0x0028, 0x0100): "BitsAllocated",
@@ -246,6 +247,20 @@ def dicom_read(path: str) -> Tuple[np.ndarray, Dict]:
             )
         explicit = ts != _IMPLICIT_LE
         _parse_elements(f, explicit, stop_at_pixeldata=True, attrs=attrs)
+
+    # (0028,0008) is authoritative for frame count across ALL syntaxes —
+    # fragment counting can't see multi-frame JPEG/J2K (codestreams may
+    # span fragments) or multi-frame native data. Fail loudly rather
+    # than silently decode frame 0 of a cine/tomo study.
+    try:
+        n_frames = int(str(attrs.get("NumberOfFrames", "1")).strip() or "1")
+    except ValueError:
+        n_frames = 1
+    if n_frames > 1:
+        raise NotImplementedError(
+            f"multi-frame DICOM (NumberOfFrames={n_frames}) unsupported "
+            "by the built-in reader; install pydicom"
+        )
 
     if "PixelDataFragments" in attrs:
         frags = attrs["PixelDataFragments"]

@@ -98,22 +98,27 @@ def partition_datasets(names: Sequence[str], process_index: int,
 
 
 def write_partial_result(save_dir: str, process_index: int, payload: Dict,
-                         run_id: Optional[str] = None) -> str:
+                         run_id: Optional[str] = None,
+                         error: Optional[str] = None) -> str:
     """Atomically publish one process's metrics slice, tagged with the
-    run token so a later run's merge never consumes it as fresh."""
+    run token so a later run's merge never consumes it as fresh.
+    ``error`` marks a contained task failure on this rank: the part
+    still publishes (so the merge never stalls waiting for a crashed
+    rank) with whatever metrics the rank completed."""
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(save_dir, _PART_FMT.format(k=process_index))
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"run_id": run_id, "metrics": payload}, f, indent=2)
+        json.dump({"run_id": run_id, "metrics": payload, "error": error}, f, indent=2)
     os.replace(tmp, path)  # atomic on POSIX: readers never see partials
     return path
 
 
 def _read_part(path: str, run_id: Optional[str]) -> Optional[Dict]:
-    """The part's metrics if it belongs to this run, else None (a stale
-    file from a previous eval into the same dir — the owning rank will
-    overwrite it; treat as not-yet-present and keep polling)."""
+    """The part dict ({"metrics", "error"}) if it belongs to this run,
+    else None (a stale file from a previous eval into the same dir —
+    the owning rank will overwrite it; treat as not-yet-present and
+    keep polling)."""
     try:
         with open(path) as f:
             part = json.load(f)
@@ -123,7 +128,7 @@ def _read_part(path: str, run_id: Optional[str]) -> Optional[Dict]:
         return None  # pre-run_id layout: can't attribute, treat as stale
     if part.get("run_id") != run_id:
         return None
-    return part["metrics"]
+    return {"metrics": part["metrics"], "error": part.get("error")}
 
 
 def merge_partial_results(save_dir: str, process_count: int,
@@ -133,7 +138,12 @@ def merge_partial_results(save_dir: str, process_count: int,
     """Process-0 side: wait for every rank's part file FROM THIS RUN
     (matching ``run_id``), union the per-dataset dicts, write the
     canonical ``result.json``. Stale parts — earlier runs into the same
-    dir, or ranks beyond a shrunk process_count — are ignored."""
+    dir, or ranks beyond a shrunk process_count — are ignored.
+
+    A part carrying an ``error`` (contained task failure on that rank)
+    is merged for whatever metrics it completed; the error is logged —
+    matching the serial driver's degrade-to-logged-error contract
+    rather than stalling or crashing the merge."""
     paths = [os.path.join(save_dir, _PART_FMT.format(k=k)) for k in range(process_count)]
     deadline = time.monotonic() + timeout_s
     while True:
@@ -148,11 +158,17 @@ def merge_partial_results(save_dir: str, process_count: int,
             )
         time.sleep(poll_s)
     merged: Dict = {}
-    for part in parts:
-        overlap = set(merged) & set(part)
+    for k, part in enumerate(parts):
+        if part["error"]:
+            logger.error(
+                f"[distributed eval] rank {k} reported a contained "
+                f"failure: {part['error']} — merging its completed "
+                "metrics; its remaining datasets are absent from result.json"
+            )
+        overlap = set(merged) & set(part["metrics"])
         if overlap:
             raise ValueError(f"dataset(s) {sorted(overlap)} reported by multiple ranks")
-        merged.update(part)
+        merged.update(part["metrics"])
     save_json(merged, os.path.join(save_dir, "result.json"))
     return merged
 
@@ -233,12 +249,24 @@ class DistributedInference:
             f"[distributed eval] process {self.process_index}/{self.process_count} "
             f"{task}: {mine or '(no slice)'}"
         )
-        part = getattr(inf, task)(scorer, save_dir, **kwargs) if mine else {}
-        if part is None:  # task raised inside its containment wrapper
-            raise RuntimeError(
-                f"{task} failed on process {self.process_index}; see log"
+        # containment (the serial driver's contract: a failed task is a
+        # logged error, not a crash): ALWAYS publish this rank's part —
+        # a rank that dies before publishing would leave rank 0 blocked
+        # in merge_partial_results for the full merge timeout
+        error = None
+        try:
+            part = getattr(inf, task)(scorer, save_dir, **kwargs) if mine else {}
+            if part is None:  # task raised inside its containment wrapper
+                part, error = {}, f"{task} failed on process {self.process_index}; see log"
+        except Exception as e:
+            part, error = {}, (
+                f"{task} crashed on process {self.process_index}: {e!r}"
             )
-        write_partial_result(save_dir, self.process_index, part, run_id=run_id)
+        if error:
+            logger.error(f"[distributed eval] {error}")
+        write_partial_result(
+            save_dir, self.process_index, part, run_id=run_id, error=error
+        )
         if self.process_index == 0:
             return merge_partial_results(
                 save_dir, self.process_count, self.merge_timeout_s,

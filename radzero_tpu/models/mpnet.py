@@ -131,12 +131,10 @@ def mpnet_layer(x, p, rel, neg, cfg: TextConfig):
     """``rel``: (H, L, L) relative-position score bias (shared across the
     batch); ``neg``: (S, L) additive key-padding mask (0 real / -big pad)."""
     if cfg.pack_qkv:
-        a = p["attn"]
-        wqkv = jnp.concatenate(
-            [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
-        )
-        bqkv = jnp.concatenate([a["q"]["bias"], a["k"]["bias"], a["v"]["bias"]])
-        qkv = jnp.dot(x, wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)
+        from radzero_tpu.models.vit import _packed_qkv_params
+
+        wqkv, bqkv = _packed_qkv_params(p["attn"], x.dtype)
+        qkv = jnp.dot(x, wqkv) + bqkv
         q, k, v = (split_heads(t, cfg.num_attention_heads)
                    for t in jnp.split(qkv, 3, axis=-1))
     else:

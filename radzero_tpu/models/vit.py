@@ -190,11 +190,19 @@ def dinov2_layer_fused(
     )
 
     b, l, d = x.shape
+    cdt = x.dtype
     x2 = x.reshape(b * l, d)
-    wqkv, bqkv = _packed_qkv_params(p["attn"])
+    # cast params to the compute dtype (a no-op on the serving path,
+    # whose param tree is pre-cast): the kernels dot the activation
+    # against the weight AT ITS STORED DTYPE, so an fp32 weight — the
+    # trainer's frozen-tower substitution and make_tower_fn hold fp32
+    # trees — would silently demote every GEMM to the fp32 MXU rate
+    # and double the weight HBM/VMEM traffic
+    wqkv, bqkv = _packed_qkv_params(p["attn"], cdt)
     a = p["attn"]
     qkv = fused_preattn(
-        x2, p["ln1"]["scale"], p["ln1"]["bias"], wqkv, bqkv,
+        x2, p["ln1"]["scale"].astype(cdt), p["ln1"]["bias"].astype(cdt),
+        wqkv, bqkv,
         eps=cfg.layer_norm_eps,
     ).reshape(b, l, 3 * d)
     attn_out = _attn_packed(
@@ -202,10 +210,12 @@ def dinov2_layer_fused(
     )
     out = fused_postattn(
         x2, attn_out.reshape(b * l, d),
-        a["o"]["kernel"], a["o"]["bias"], p["ls1"],
-        p["ln2"]["scale"], p["ln2"]["bias"],
-        p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
-        p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"], p["ls2"],
+        a["o"]["kernel"].astype(cdt), a["o"]["bias"].astype(cdt),
+        p["ls1"].astype(cdt),
+        p["ln2"]["scale"].astype(cdt), p["ln2"]["bias"].astype(cdt),
+        p["mlp"]["fc1"]["kernel"].astype(cdt), p["mlp"]["fc1"]["bias"].astype(cdt),
+        p["mlp"]["fc2"]["kernel"].astype(cdt), p["mlp"]["fc2"]["bias"].astype(cdt),
+        p["ls2"].astype(cdt),
         eps=cfg.layer_norm_eps,
     )
     return out.reshape(b, l, d)

@@ -422,9 +422,33 @@ def _bwd_b(scale, stable, kv_len, residuals, g):
     l_real = kv_len if kv_len is not None else l
     l_pad = _pad_len(l)
     if l_pad > 1024:
-        raise NotImplementedError(
-            "flash_attention_bias backward holds the full sequence in one "
-            f"q block; L={l} (padded {l_pad}) exceeds 1024"
+        # The Pallas backward holds the full sequence in one q block
+        # (text towers pad to <= 128 at the reference shapes), capping
+        # it at 1024 lanes. Beyond that, fall back to a jnp backward
+        # that materialises the (B, H, L, L) probabilities — the same
+        # HBM cost attn_impl='xla' pays — so long-text opt-in configs
+        # stay trainable end to end instead of failing at the first
+        # optimization step.
+        qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))
+        s = jnp.einsum("blhd,bmhd->bhlm", qf, kf) * scale
+        s = s + bias.astype(jnp.float32)[None]
+        s = s + neg_mask.astype(jnp.float32)[:, None, None, :]
+        if l_real < l:
+            col = jnp.arange(l)
+            s = jnp.where(col[None, None, None, :] < l_real, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        gf = g.astype(jnp.float32)
+        dv = jnp.einsum("bhlm,blhd->bmhd", p, gf)
+        dp = jnp.einsum("blhd,bmhd->bhlm", gf, vf)
+        ds0 = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.einsum("bhlm,bmhd->blhd", ds0, kf) * scale
+        dk = jnp.einsum("bhlm,blhd->bmhd", ds0, qf) * scale
+        return (
+            dq.astype(q.dtype),
+            dk.astype(k.dtype),
+            dv.astype(v.dtype),
+            jnp.sum(ds0, axis=0).astype(bias.dtype),
+            jnp.zeros_like(neg_mask),  # structural mask: see flash_attention_bias
         )
 
     def to_bh(x):

@@ -19,9 +19,9 @@ remat, fused frozen tower — ``tools/bench_train.py --tower-cache``):
 
     | step                 | L64 slot        | L32 bucket      |
     |----------------------|-----------------|-----------------|
-    | full train step      | 108.3 samp/s    | 150.9 samp/s    |
-    | cached step (no tower)| 159.4 (+47%)   | 240.6 (+59%)    |
-    | tower forward alone  | 192.8 ms        | (same)          |
+    | full train step      | 114.2 samp/s    | 150.9 samp/s    |
+    | cached step (no tower)| 159.5 (+40%)   | 240.6 (+59%)    |
+    | tower forward alone  | ~193-205 ms     | (same)          |
 
 Costs:
 - tokens are (L_pad, D) bf16 per image — 2.16 MB at the flagship
@@ -30,9 +30,9 @@ Costs:
   192.8 ms of recompute) but NOT host RAM; small/medium datasets can
   use ``backing="ram"``.
 - upload becomes 64 x 1408 x 768 bf16 = 138.4 MB tokens/batch instead
-  of pixels. Break-even host->device bandwidth is 138.4 MB per 190 ms
-  of recompute saved ~= 0.75 GB/s: any PCIe-attached host clears it
-  (~16 GB/s -> ~9 ms/batch, keeping nearly the full +47-59%); the
+  of pixels. Break-even host->device bandwidth is 138.4 MB per ~160 ms
+  of step time saved ~= 0.9 GB/s: any PCIe-attached host clears it
+  (~16 GB/s -> ~9 ms/batch, keeping nearly the full +40-59%); the
   60 MB/s bench tunnel here does NOT (2.3 s/batch — recompute wins).
   The feature is therefore OPT-IN (``RadZeroTrainer(tower_cache=...)``,
   ``train.tower_cache`` in YAML), with the break-even documented
@@ -62,11 +62,14 @@ class TowerCache:
 
     ``backing="ram"``: a dict of per-record arrays — any dataset size
     the host's memory allows, zero configuration.
-    ``backing="memmap"``: one preallocated ``tokens.dat`` under ``path``
-    (requires ``n_records``) plus an in-RAM presence bitmap — for
-    datasets larger than host RAM; the file is reusable across runs of
-    the same (checkpoint, processor) pair but is NOT validated against
-    them, so point ``path`` at a run-scoped directory unless you know
+    ``backing="memmap"``: preallocated ``tokens.dat`` + ``present.dat``
+    under ``path`` (requires ``n_records``) — for datasets larger than
+    host RAM. Both files persist, so a SECOND run pointed at the same
+    ``path`` reuses epoch-1 work: ``meta.json`` records (n_records,
+    token shape, dtype) and existing files are reopened in place when
+    it matches, recreated from scratch when it doesn't. The meta does
+    NOT capture the (checkpoint, processor) pair that produced the
+    tokens — point ``path`` at a run-scoped directory unless you know
     the tower inputs are unchanged.
     """
 
@@ -91,15 +94,41 @@ class TowerCache:
         self.misses = 0
 
     # ------------------------------------------------------------------
+    def _meta(self, token_shape, dtype) -> dict:
+        return {
+            "shape": [int(self.n_records), *map(int, token_shape)],
+            "dtype": str(np.dtype(dtype)),
+        }
+
     def _ensure_memmap(self, token_shape, dtype) -> None:
         if self._mm is not None:
             return
+        import json
+
         os.makedirs(self.path, exist_ok=True)
         fn = os.path.join(self.path, "tokens.dat")
+        pn = os.path.join(self.path, "present.dat")
+        mn = os.path.join(self.path, "meta.json")
+        meta = self._meta(token_shape, dtype)
+        reuse = False
+        if os.path.exists(mn) and os.path.exists(fn) and os.path.exists(pn):
+            try:
+                with open(mn) as f:
+                    reuse = json.load(f) == meta
+            except (OSError, ValueError):
+                reuse = False
+        # 'r+' reopens a matching cache in place (cross-run reuse of
+        # epoch-1 work); any mismatch recreates from scratch — it is a
+        # cache, never the source of truth
+        mode = "r+" if reuse else "w+"
         self._mm = np.memmap(
-            fn, dtype=dtype, mode="w+", shape=(self.n_records, *token_shape)
+            fn, dtype=dtype, mode=mode, shape=tuple(meta["shape"])
         )
-        self._present = np.zeros((self.n_records,), bool)
+        self._present = np.memmap(pn, dtype=np.uint8, mode=mode,
+                                  shape=(self.n_records,))
+        if not reuse:
+            with open(mn, "w") as f:
+                json.dump(meta, f)
 
     def put(self, indices: np.ndarray, tokens: np.ndarray) -> None:
         """Store ``tokens[i]`` under record index ``indices[i]``."""
@@ -110,7 +139,31 @@ class TowerCache:
             return
         self._ensure_memmap(tokens.shape[1:], tokens.dtype)
         self._mm[indices] = tokens
-        self._present[indices] = True
+        self._present[indices] = 1
+
+    def _open_existing(self) -> bool:
+        """Reopen a persisted cache before the first put() (fresh run
+        over a warm directory): shape/dtype come from meta.json."""
+        import json
+
+        mn = os.path.join(self.path, "meta.json")
+        if not os.path.exists(mn):
+            return False
+        try:
+            with open(mn) as f:
+                meta = json.load(f)
+            if meta["shape"][0] != self.n_records:
+                return False
+            try:
+                dt = np.dtype(meta["dtype"])
+            except TypeError:
+                import ml_dtypes  # registers bfloat16 et al.  # noqa: F401
+
+                dt = np.dtype(meta["dtype"])
+            self._ensure_memmap(meta["shape"][1:], dt)
+            return True
+        except (OSError, ValueError, KeyError):
+            return False
 
     def get(self, indices: np.ndarray) -> Optional[np.ndarray]:
         """The stacked tokens for ``indices``, or None unless ALL are
@@ -123,7 +176,10 @@ class TowerCache:
                 return None
             self.hits += 1
             return np.stack([self._ram[int(i)] for i in indices])
-        if self._present is None or not self._present[indices].all():
+        if self._present is None and not self._open_existing():
+            self.misses += 1
+            return None
+        if not self._present[indices].all():
             self.misses += 1
             return None
         self.hits += 1

@@ -51,7 +51,7 @@ def _us(v):
 
 
 def _make_dicom(pixels: np.ndarray, photometric: str, transfer_syntax: str,
-                jpeg_bytes: bytes = None) -> bytes:
+                jpeg_bytes: bytes = None, n_frames: int = None) -> bytes:
     rows, cols = pixels.shape[:2]
     bits = pixels.dtype.itemsize * 8
     explicit = transfer_syntax != _IMPLICIT_LE
@@ -66,6 +66,9 @@ def _make_dicom(pixels: np.ndarray, photometric: str, transfer_syntax: str,
     body += el(0x0008, 0x1140, b"SQ", sq_item)
     body += el(0x0028, 0x0002, b"US", _us(1))
     body += el(0x0028, 0x0004, b"CS", photometric.encode())
+    if n_frames is not None:
+        nf = str(n_frames).encode()
+        body += el(0x0028, 0x0008, b"IS", nf + (b" " if len(nf) % 2 else b""))
     body += el(0x0028, 0x0010, b"US", _us(rows))
     body += el(0x0028, 0x0011, b"US", _us(cols))
     body += el(0x0028, 0x0100, b"US", _us(bits))
@@ -181,6 +184,25 @@ def test_parse_rle_encapsulated_16bit(tmp_path):
     p.write_bytes(_make_dicom(px, "MONOCHROME2", "1.2.840.10008.1.2.5",
                               jpeg_bytes=frag))
     arr, attrs = dicom_read(str(p))
+    np.testing.assert_array_equal(arr, px)
+
+
+def test_multiframe_number_of_frames_raises(tmp_path):
+    """(0028,0008) NumberOfFrames > 1 must fail loudly on every syntax
+    — fragment counting can't see multi-frame JPEG (codestreams may span
+    fragments), so the tag is the authoritative guard."""
+    import pytest
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (6, 6)).astype(np.uint8)
+    p = tmp_path / "mf.dcm"
+    p.write_bytes(_make_dicom(px, "MONOCHROME2", _EXPLICIT_LE, n_frames=3))
+    with pytest.raises(NotImplementedError, match="NumberOfFrames=3"):
+        dicom_read(str(p))
+    # NumberOfFrames=1 explicitly present is fine
+    p1 = tmp_path / "sf.dcm"
+    p1.write_bytes(_make_dicom(px, "MONOCHROME2", _EXPLICIT_LE, n_frames=1))
+    arr, _ = dicom_read(str(p1))
     np.testing.assert_array_equal(arr, px)
 
 

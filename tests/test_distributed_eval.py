@@ -133,6 +133,29 @@ def test_two_process_eval_matches_serial(data_root, scorer, tmp_path):
     )
 
 
+def test_failed_rank_publishes_error_part_and_merge_proceeds(
+    data_root, scorer, tmp_path, monkeypatch
+):
+    """Containment contract: a task failure on a non-zero rank must not
+    leave rank 0 blocked for the whole merge timeout — the failing rank
+    publishes an error-tagged part and the merge unions the completed
+    slices (serial driver parity: degrade to a logged error)."""
+    d = tmp_path / "det"
+
+    def boom(self, scorer, save_dir, **kw):
+        raise RuntimeError("synthetic task failure")
+
+    monkeypatch.setattr(Inference, "grounding", boom)
+    r1 = _dist(data_root, 1, 2)
+    assert r1.grounding(scorer, str(d)) is None  # error part published
+    monkeypatch.undo()
+
+    r0 = _dist(data_root, 0, 2)
+    merged = r0.grounding(scorer, str(d))  # must NOT TimeoutError
+    assert sorted(merged) == ["ChestXDet10"]  # rank 0's slice only
+    assert json.load(open(d / "result.json")) == json.loads(json.dumps(merged))
+
+
 def test_params_digest_distinguishes_model_states(scorer):
     """The fallback run token fingerprints the MODEL STATE: re-eval of a
     further-trained checkpoint into the same dir must never match a

@@ -166,6 +166,40 @@ def test_flash_bias_gradients_match_reference():
     np.testing.assert_array_equal(np.asarray(dneg), 0.0)
 
 
+def test_flash_bias_gradients_long_sequence_fallback():
+    """Past 1024 padded lanes the Pallas backward's single q-block no
+    longer fits; the jnp fallback must keep long-text opt-in configs
+    trainable with eager-parity gradients (TextConfig recommends
+    attn_impl='flash' precisely for long sequences)."""
+    from radzero_tpu.ops.flash_attention import flash_attention_bias
+
+    rng = np.random.default_rng(2)
+    b, l, h, hd = 1, 1056, 1, 8  # pads to 1152 > 1024
+    q = jnp.asarray(rng.standard_normal((b, l, h, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, h, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, h, hd)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, l, l)) * 0.1, jnp.float32)
+    mask01 = (np.arange(l)[None, :] < 1000).astype(np.float32)
+    neg = jnp.asarray((1.0 - mask01) * np.finfo(np.float32).min)
+    w = jnp.asarray(rng.standard_normal((b, l, h, hd)), jnp.float32)
+    w = w * jnp.asarray(mask01)[:, :, None, None]
+
+    def loss_ref(q, k, v, bias):
+        o = attention(q, k, v, bias=bias[None] + neg[:, None, None, :],
+                      scale=hd**-0.5)
+        return jnp.sum(w * o)
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(w * flash_attention_bias(q, k, v, bias, neg, hd**-0.5))
+
+    ref_g = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    out_g = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for og, rg, name in zip(out_g, ref_g, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(og), np.asarray(rg), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
 def test_mpnet_flash_equals_xla():
     """Full MPNet tower: flash path == xla path, values and gradients."""
     import dataclasses

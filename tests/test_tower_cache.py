@@ -70,6 +70,33 @@ def test_tower_cache_memmap_roundtrip(tmp_path):
     assert c.n_cached == 3
 
 
+def test_tower_cache_memmap_cross_run_reuse(tmp_path):
+    """A fresh TowerCache pointed at a warm directory must reuse the
+    persisted tokens (epoch-1 work survives a restart); a mismatched
+    geometry recreates from scratch instead of reading garbage."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(1)
+    tok = rng.standard_normal((2, 4, 8)).astype(ml_dtypes.bfloat16)
+    c1 = TowerCache("memmap", path=str(tmp_path), n_records=6)
+    c1.put(np.array([0, 3]), tok)
+    del c1
+
+    c2 = TowerCache("memmap", path=str(tmp_path), n_records=6)
+    got = c2.get(np.array([0, 3]))  # warm get BEFORE any put
+    assert got is not None and got.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(got.view(np.uint16), tok.view(np.uint16))
+    assert c2.get(np.array([1])) is None  # never stored
+    assert c2.n_cached == 2
+
+    # changed record count -> stale meta -> cold start, no crash
+    c3 = TowerCache("memmap", path=str(tmp_path), n_records=7)
+    assert c3.get(np.array([0, 3])) is None
+    c3.put(np.array([2]), tok[:1])
+    assert c3.get(np.array([0, 3])) is None  # old contents were wiped
+    assert c3.n_cached == 1
+
+
 def test_tower_cache_bad_args(tmp_path):
     with pytest.raises(ValueError, match="backing"):
         TowerCache("disk")
