@@ -119,6 +119,7 @@ class TrainLoader:
         process_count: int = 1,
         echo: int = 1,
         with_indices: bool = False,
+        stable_sharding: bool = False,
     ):
         """Multi-host sharding (``process_count > 1``): every process
         draws the SAME deterministic global shuffle (seed + epoch), then
@@ -136,7 +137,16 @@ class TrainLoader:
         ``with_indices``: add ``record_indices`` (B,) int64 — each
         batch row's index into ``records`` — to every packed batch.
         HOST-ONLY metadata (the trainer pops it before device upload);
-        keys the frozen-tower activation cache (train/tower_cache.py)."""
+        keys the frozen-tower activation cache (train/tower_cache.py).
+
+        ``stable_sharding``: pin each process to a FIXED record shard
+        (seed-only assignment) and reshuffle only WITHIN the shard per
+        epoch, instead of re-drawing the global shuffle and restriding.
+        Required by per-process record caches (the tower cache): under
+        the default global reshuffle a process sees a mostly-different
+        1/P of the records every epoch, so a cache keyed by record
+        index essentially never hits and grows toward a full per-host
+        copy. No effect when ``process_count == 1``."""
         self.records = records
         self.image_loader = image_loader
         self.tokenizer = tokenizer
@@ -181,6 +191,7 @@ class TrainLoader:
             raise ValueError("echo must be >= 1")
         self.echo = echo
         self.with_indices = with_indices
+        self.stable_sharding = bool(stable_sharding)
         self.epoch = 0
 
     def _global_usable(self) -> int:
@@ -212,12 +223,22 @@ class TrainLoader:
         # eval loaders (shuffle=False) keep a fixed rng so sentence
         # subsampling is identical across epochs -> comparable eval losses
         rng = np.random.default_rng(self.seed + (self.epoch if self.shuffle else 0))
-        order = np.arange(len(self.records))
-        if self.shuffle:
-            rng.shuffle(order)
-        if self.process_count > 1:
-            order = order[: self._global_usable()] if self.drop_last else order
-            order = order[self.process_index :: self.process_count]
+        if self.process_count > 1 and self.stable_sharding:
+            # fixed per-process shard (seed-only global permutation,
+            # identical every epoch), reshuffled locally per epoch —
+            # disjoint and equal-sized by the same truncation as below
+            base = np.random.default_rng(self.seed).permutation(len(self.records))
+            base = base[: self._global_usable()] if self.drop_last else base
+            order = base[self.process_index :: self.process_count]
+            if self.shuffle:
+                rng.shuffle(order)
+        else:
+            order = np.arange(len(self.records))
+            if self.shuffle:
+                rng.shuffle(order)
+            if self.process_count > 1:
+                order = order[: self._global_usable()] if self.drop_last else order
+                order = order[self.process_index :: self.process_count]
         self.epoch += 1
 
         q: Queue = Queue(maxsize=self.prefetch)

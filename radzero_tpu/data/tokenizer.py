@@ -240,21 +240,39 @@ class WordPieceTokenizer:
     # -- persistence --------------------------------------------------------
     def save_vocab(self, path: str) -> None:
         """Write vocab.txt (id order) next to a converted checkpoint."""
-        inv = sorted(self.vocab.items(), key=lambda kv: kv[1])
-        with open(path, "w", encoding="utf-8") as f:
-            for tok, _ in inv:
-                f.write(tok + "\n")
+        _write_vocab_by_id(self.vocab, path)
+
+
+def _write_vocab_by_id(vocab: Dict[str, int], out_path: str) -> str:
+    """Write vocab.txt such that ``load_vocab_file`` (id = line number)
+    reproduces the EXACT token->id mapping. Vocabularies with
+    non-contiguous ids (added special tokens, pruned slots) get unique
+    placeholder lines at the gap ids — naively writing tokens in sorted
+    order would silently shift every id after the first gap, making the
+    text tower index wrong embedding rows with no error anywhere."""
+    by_id: Dict[int, str] = {}
+    for tok, i in vocab.items():
+        if i in by_id:
+            raise ValueError(
+                f"duplicate id {i} for tokens {by_id[i]!r} and {tok!r}"
+            )
+        by_id[i] = tok
+    n = max(by_id) + 1 if by_id else 0
+    with open(out_path, "w", encoding="utf-8") as f:
+        for i in range(n):
+            tok = by_id.get(i)
+            if tok is None:
+                tok = f"[unused_gap_{i}]"
+                if tok in vocab:  # pathological collision: keep ids exact
+                    raise ValueError(f"cannot fill vocab id gap {i}: {tok!r} exists")
+            f.write(tok + "\n")
+    return out_path
 
 
 def dump_hf_vocab(hf_tokenizer, out_path: str) -> str:
     """Extract a vocab.txt from a loaded HF tokenizer (checkpoint
     conversion helper): after this, runtime needs only WordPieceTokenizer."""
-    vocab = hf_tokenizer.get_vocab()
-    inv = sorted(vocab.items(), key=lambda kv: kv[1])
-    with open(out_path, "w", encoding="utf-8") as f:
-        for tok, _ in inv:
-            f.write(tok + "\n")
-    return out_path
+    return _write_vocab_by_id(hf_tokenizer.get_vocab(), out_path)
 
 
 class HFTokenizer:

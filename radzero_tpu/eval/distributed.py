@@ -197,7 +197,16 @@ class DistributedInference:
         merge_timeout_s: float = 3600.0,
         run_id: Optional[str] = None,
     ):
-        auto = process_index is None or process_count is None
+        if (process_index is None) != (process_count is None):
+            # silently auto-filling the other half would discard an
+            # explicit rank and evaluate the wrong dataset slice
+            raise ValueError(
+                "pass BOTH process_index and process_count (manual "
+                "launcher) or NEITHER (auto-detect from the JAX "
+                f"distributed runtime); got process_index={process_index} "
+                f"process_count={process_count}"
+            )
+        auto = process_index is None
         if auto:
             import jax
 

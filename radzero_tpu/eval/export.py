@@ -44,7 +44,7 @@ def export_zero_shot(
     channels: int = 3,
     image_mean=None,
     image_std=None,
-    fused_tower: bool = True,
+    fused_tower: bool = None,
 ) -> str:
     """Serialize compute_logits at fixed shapes; returns the bundle dir.
 
@@ -52,14 +52,22 @@ def export_zero_shot(
     bundle — inputs are resized uint8 (B, img, img, channels) and the
     rescale+normalise (and channel broadcast for channels=1 grayscale
     sources) happen inside the exported program. ``image_mean/std``
-    default to the CLIP statistics the flagship Blip processor uses."""
+    default to the CLIP statistics the flagship Blip processor uses.
+    ``fused_tower=None`` (default) resolves to True on TPU only — a
+    bundle exported on a CPU host would otherwise bake interpret-mode
+    Pallas kernels into the program."""
     os.makedirs(out_dir, exist_ok=True)
+    if fused_tower is None:
+        fused_tower = jax.default_backend() == "tpu"
     if fused_tower:
         from radzero_tpu.models.configuration import with_fused_towers
 
         # forward-only Pallas-fused serving layers (ops/fused_layer.py):
         # exported programs never differentiate
         cfg = with_fused_towers(cfg)
+    from radzero_tpu.models.configuration import resolve_backend_impls
+
+    cfg = resolve_backend_impls(cfg)
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     if from_uint8:
         from radzero_tpu.data.processing import CLIP_MEAN, CLIP_STD

@@ -36,7 +36,7 @@ class ZeroShotScorer:
         num_threads: int = 8,
         mesh=None,
         device_normalize: bool = False,
-        fused_tower: bool = True,
+        fused_tower: bool = None,
     ):
         """``mesh``: optional device mesh — batches shard over its 'data'
         axis so eval scales across chips (vs the reference's single-GPU
@@ -51,11 +51,19 @@ class ZeroShotScorer:
         ``fused_tower``: run the vision + align towers through the
         Pallas-fused serving layers (ops/fused_layer.py) — forward-only,
         numerically equivalent (tests/test_fused_layer.py), faster on
-        chip. Inference never differentiates, so this is safe here."""
+        chip. Inference never differentiates, so this is safe here.
+        ``None`` (default) resolves to True on TPU only: on CPU the
+        kernels run in interpret mode, orders of magnitude slower than
+        the XLA path (pass True explicitly for kernel-parity testing)."""
+        from radzero_tpu.models.configuration import resolve_backend_impls
+
+        if fused_tower is None:
+            fused_tower = jax.default_backend() == "tpu"
         if fused_tower:
             from radzero_tpu.models.configuration import with_fused_towers
 
             cfg = with_fused_towers(cfg)
+        cfg = resolve_backend_impls(cfg)
         self.cfg = cfg
         self.image_processor = image_processor
         self.tokenizer = tokenizer

@@ -86,7 +86,7 @@ class ServingEngine:
         channels: int = 3,
         aot_runner=None,
         mesh=None,
-        fused_tower: bool = True,
+        fused_tower: bool = None,
         fast_scale: bool = False,
     ):
         """``device_normalize``: split the image pipeline — host does
@@ -102,7 +102,9 @@ class ServingEngine:
         grayscale JPEGs (the Y plane IS the pixel data); requires
         device_normalize.
         ``fused_tower``: Pallas-fused forward-only vision/align layers
-        (ops/fused_layer.py) — serving never differentiates.
+        (ops/fused_layer.py) — serving never differentiates. ``None``
+        (default) resolves to True on TPU only: on CPU the kernels run
+        in interpret mode, orders of magnitude slower than the XLA path.
         ``fast_scale``: opt-in libjpeg DCT-domain scaled decode (1/2..1/8)
         for JPEG-bytes requests whose source is much larger than the
         model size — cuts host decode cost up to ~8x but box-filters the
@@ -110,10 +112,16 @@ class ServingEngine:
         classification-style serving, keep OFF when similarity maps are
         consumed (same trade as the training loader's default-on flag,
         data/native.py:native_jpeg_loader)."""
+        if fused_tower is None:
+            fused_tower = jax.default_backend() == "tpu"
         if fused_tower and cfg is not None:
             from radzero_tpu.models.configuration import with_fused_towers
 
             cfg = with_fused_towers(cfg)
+        if cfg is not None:
+            from radzero_tpu.models.configuration import resolve_backend_impls
+
+            cfg = resolve_backend_impls(cfg)
         self.cfg = cfg
         self.image_processor = image_processor
         self.tokenizer = tokenizer
@@ -221,8 +229,15 @@ class ServingEngine:
         elif want_maps is False or want_maps is None:
             want_maps = "none"
         origin_hw = None if isinstance(image, (bytes, bytearray)) else tuple(image.shape[:2])
+        if self._stop.is_set():
+            raise RuntimeError("engine is closed")
         fut: cf.Future = cf.Future()
         self._queue.put(_Request(image, origin_hw, prompt_set, want_maps, fut))
+        if self._stop.is_set():
+            # close() may have finished its drain between our check and
+            # the put — fail anything still queued (idempotent) so this
+            # future can never sit unresolved in a consumer-less queue
+            self._fail_queued()
         return fut
 
     # ------------------------------------------------------------------
@@ -388,7 +403,11 @@ class ServingEngine:
         # Requests still sitting in the submit queue were never picked up
         # by the (now dead) decode stage — fail their futures so callers
         # (e.g. EngineServer HTTP threads) don't block to their own
-        # request_timeout.
+        # request_timeout. submit() re-drains after its put when it sees
+        # _stop set, so a request racing past this drain is still failed.
+        self._fail_queued()
+
+    def _fail_queued(self) -> None:
         while True:
             try:
                 req = self._queue.get_nowait()

@@ -39,7 +39,7 @@ class ViTConfig:
     # ``token_filter_layer`` patch tokens are ranked by head-mean CLS
     # attention score and only the top (1 - ratio) fraction continue
     # through the remaining layers; dropped rows are scattered back as
-    # zeros before the final LN so every downstream shape (align,
+    # exact zeros after the final LN so every downstream shape (align,
     # similarity maps) is unchanged. Measured trade-offs:
     # tools/token_filter_study.py.
     token_filter_ratio: float = 0.0
@@ -217,6 +217,50 @@ def with_fused_towers(cfg: RadZeroConfig) -> RadZeroConfig:
         ):
             changes[name] = dataclasses.replace(sub, attn_impl="fused")
     return dataclasses.replace(cfg, **changes) if changes else cfg
+
+
+def resolve_backend_impls(cfg: RadZeroConfig) -> RadZeroConfig:
+    """Downgrade Pallas-only impl choices to their XLA equivalents on
+    backends without a Pallas/Mosaic lowering (anything but tpu/cpu —
+    the kernels run natively on TPU and interpreted on CPU).
+
+    The dataclass DEFAULTS pick the fast TPU path (vision 'flash',
+    align 'fused_vjp', text ``fuse_post``, loss 'fused'); on e.g. a GPU
+    backend those would crash at the first pallas_call. Every runtime
+    surface (trainer, scorer, serving engine, export) routes its config
+    through here so a default config runs everywhere — at XLA speed on
+    non-TPU backends, with a logged warning."""
+    import jax
+
+    if jax.default_backend() in ("cpu", "tpu"):
+        return cfg
+    changes = {}
+    for name in ("vision", "align"):
+        sub = getattr(cfg, name, None)
+        if (
+            sub is not None
+            and any(f.name == "attn_impl" for f in dataclasses.fields(sub))
+            and sub.attn_impl != "xla"
+        ):
+            changes[name] = dataclasses.replace(sub, attn_impl="xla")
+    text_changes = {}
+    if cfg.text.attn_impl != "xla":
+        text_changes["attn_impl"] = "xla"
+    if cfg.text.fuse_post:
+        text_changes["fuse_post"] = False
+    if text_changes:
+        changes["text"] = dataclasses.replace(cfg.text, **text_changes)
+    if cfg.loss.train_impl == "fused":
+        changes["loss"] = dataclasses.replace(cfg.loss, train_impl="xla")
+    if not changes:
+        return cfg
+    import logging
+
+    logging.getLogger("radzero").warning(
+        "backend %r has no Pallas lowering: downgraded %s to XLA impls",
+        jax.default_backend(), sorted(changes),
+    )
+    return dataclasses.replace(cfg, **changes)
 
 
 def _vision_config_from_dict(vc: dict):

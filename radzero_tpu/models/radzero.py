@@ -162,6 +162,16 @@ def forward_vision(
         tokens = vision_apply(params["vision_model"], cfg.vision, pixel_values, dtype=dtype)
     if stop_tower_gradient:
         tokens = jax.lax.stop_gradient(tokens)
+    if (
+        real_len is not None
+        and cfg.align.model_type == "align_transformer"
+        and getattr(cfg.align, "attn_impl", "xla") == "xla"
+    ):
+        # the xla attention branch has no key mask: persistent lane
+        # padding would act as real (zero-vector) attention keys and
+        # deflate every token's softmax — slice it off here instead
+        tokens = tokens[:, :real_len]
+        real_len = None
     _, align_apply = build_align_adapter(cfg.align.model_type)
     tokens = align_apply(
         params["align_transformer"], cfg.align, tokens, remat=remat, real_len=real_len

@@ -159,6 +159,19 @@ def _packed_qkv_params(a: dict, dtype=None):
     return wqkv, bqkv
 
 
+# Per-program VMEM bound for the packed-layout kernels: each program
+# holds the full (L_pad, L_pad) fp32 score matrix plus the iota column
+# mask and the exp buffer in VMEM (~63 MB at 2048 lanes against the
+# 100 MB compiler cap). Longer sequences — e.g. a SAM tower's L=4097
+# (-> 4224 lanes, ~214 MB of score buffers) feeding a fused align
+# adapter — would fail Mosaic VMEM allocation on a real TPU (CPU
+# interpret mode enforces no limit, so tests alone can't catch it);
+# they fall back to the KV-blocked flash kernel, which is VMEM-bounded
+# by construction and differentiable (custom VJP), trading the packed
+# layout's transpose savings for correctness at scale.
+_PACKED_ATTN_MAX_LANES = 2048
+
+
 def _attn_packed(qkv: jnp.ndarray, n_heads: int, real_len, attn_fn) -> jnp.ndarray:
     """Call a packed-layout attention kernel, lane-padding first when a
     standalone (unpadded) sequence arrives: the kernels require
@@ -168,9 +181,17 @@ def _attn_packed(qkv: jnp.ndarray, n_heads: int, real_len, attn_fn) -> jnp.ndarr
     tower (CLIP L=577, SAM L=4097) feeding a fused align adapter lands
     here with real_len=None and a non-lane-aligned L."""
     l = qkv.shape[1]
-    if real_len is None and l % 128 != 0:
-        lp = (l + 127) // 128 * 128
-        qkv = jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
+    l_pad = l if l % 128 == 0 else (l + 127) // 128 * 128
+    if l_pad > _PACKED_ATTN_MAX_LANES:
+        from radzero_tpu.ops.flash_attention import flash_attention
+
+        d = qkv.shape[2] // 3
+        q = split_heads(qkv[..., :d], n_heads)
+        k = split_heads(qkv[..., d : 2 * d], n_heads)
+        v = split_heads(qkv[..., 2 * d :], n_heads)
+        return merge_heads(flash_attention(q, k, v, None, None, real_len))
+    if real_len is None and l_pad != l:
+        qkv = jnp.pad(qkv, ((0, 0), (0, l_pad - l), (0, 0)))
         return attn_fn(qkv, n_heads, l)[:, :l]
     return attn_fn(qkv, n_heads, real_len)
 
@@ -378,6 +399,7 @@ def vit_forward(
     real_len = None
     if cfg.attn_impl in ("flash", "fused", "packed", "fused_vjp"):
         x, real_len = pad_seq_to_lanes(x)
+    filtered = None
     if cfg.token_filter_ratio > 0.0:
         k = cfg.token_filter_layer
         if not 0 <= k < cfg.num_hidden_layers:
@@ -397,15 +419,20 @@ def vit_forward(
             x, jax.tree.map(lambda a: a[k], layers), cfg, real_len
         )
         x = vit_encoder(tail, cfg, x, remat=remat, real_len=new_real)
-        # scatter kept rows back to the full grid (zeros at dropped rows)
-        # so align/map shapes downstream are unchanged
-        b = x.shape[0]
-        full = jnp.zeros((b, l_pad_full, x.shape[-1]), x.dtype)
-        x = full.at[jnp.arange(b)[:, None], idx].set(x[:, :new_real])
+        filtered = (idx, new_real, l_pad_full)
     else:
         x = vit_encoder(params["layers"], cfg, x, remat=remat, real_len=real_len)
     if cfg.use_final_layernorm:
         x = layer_norm(x, params["final_ln"], cfg.layer_norm_eps)
+    if filtered is not None:
+        # scatter kept rows back to the full grid so align/map shapes
+        # downstream are unchanged. AFTER the final LN, so dropped rows
+        # are exact zeros — LN of a zero row would emit the LN bias
+        # vector, contaminating the mean pool and align attention keys.
+        idx, new_real, l_pad_full = filtered
+        b = x.shape[0]
+        full = jnp.zeros((b, l_pad_full, x.shape[-1]), x.dtype)
+        x = full.at[jnp.arange(b)[:, None], idx].set(x[:, :new_real])
     if real_len is not None and not keep_padded:
         x = x[:, :real_len]
     return x

@@ -97,6 +97,13 @@ class RadZeroTrainer:
         tower frozen (it is, under the reference policy) and the train
         loader constructed ``with_indices=True``; see
         train/tower_cache.py for the bandwidth break-even analysis."""
+        from radzero_tpu.models.configuration import resolve_backend_impls
+
+        # on backends without a Pallas lowering (anything but tpu/cpu)
+        # the dataclass defaults (fused_vjp align, fuse_post text, fused
+        # loss kernel) would crash at the first pallas_call — downgrade
+        # them to the XLA impls with a logged warning
+        model_cfg = resolve_backend_impls(model_cfg)
         self.cfg = model_cfg
         self.args = args
         self.train_loader = train_loader
@@ -136,6 +143,21 @@ class RadZeroTrainer:
                     "tower_cache requires a frozen vision tower: cached "
                     "activations would go stale the moment the tower "
                     "updates (remove 'vision_model' from module_to_update)"
+                )
+            if getattr(train_loader, "process_count", 1) > 1 and not getattr(
+                train_loader, "stable_sharding", False
+            ):
+                # under the default global per-epoch reshuffle each
+                # process sees a mostly-different 1/P of the records
+                # every epoch: a per-process cache keyed by record index
+                # essentially never hits (get() needs ALL batch rows
+                # present) while its store grows toward a full per-host
+                # copy of the dataset
+                raise ValueError(
+                    "tower_cache with process_count > 1 requires "
+                    "TrainLoader(..., stable_sharding=True): each process "
+                    "must own a fixed record shard across epochs for its "
+                    "cache to ever hit"
                 )
             from radzero_tpu.train.tower_cache import make_tower_fn
 

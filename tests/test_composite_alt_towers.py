@@ -112,8 +112,9 @@ def test_with_fused_towers_skips_configs_without_attn_impl():
     assert out.align.attn_impl == "fused"
 
 
-def test_scorer_default_fused_tower_works_with_alt_vision_tower():
-    """Regression: ZeroShotScorer's fused_tower=True default raised
+def test_scorer_fused_tower_works_with_alt_vision_tower():
+    """Regression: ZeroShotScorer's fused_tower=True (the TPU default;
+    explicit here because the CPU default resolves to False) raised
     TypeError for every non-dinov2 vision tower (dataclasses.replace on
     a config with no attn_impl field)."""
     from radzero_tpu.data.processing import BlipStyleImageProcessor
@@ -132,7 +133,7 @@ def test_scorer_default_fused_tower_works_with_alt_vision_tower():
         params, cfg,
         BlipStyleImageProcessor(size=28),
         WhitespaceHashTokenizer(vocab_size=101, max_length=8),
-        batch_size=2,
+        batch_size=2, fused_tower=True,
     )
     rng = np.random.default_rng(3)
     imgs = [rng.integers(0, 255, (28, 28, 3), dtype=np.uint8) for _ in range(2)]

@@ -327,13 +327,23 @@ def test_close_fails_queued_futures_promptly():
         max_batch=4, max_delay_ms=20, dtype=jnp.float32,
     )
     engine.register_prompt_set("cls", ["There is Edema"])
-    # Stop the decode stage first so the submissions below stay queued.
+    # Stop the decode stage first so the requests below stay queued.
+    # submit() now fails fast once _stop is set (see
+    # test_review_fixes_r3.py), so enqueue the raw requests directly —
+    # the scenario close() must handle is requests that raced INTO the
+    # queue before shutdown and were never picked up.
     engine._stop.set()
     engine._worker.join(timeout=10)
-    futs = [
-        engine.submit(rng.integers(0, 256, (28, 28, 3), dtype=np.uint8), "cls")
-        for _ in range(3)
-    ]
+    import concurrent.futures as cf
+
+    from radzero_tpu.eval.serving import _Request
+
+    futs = []
+    for _ in range(3):
+        fut = cf.Future()
+        img = rng.integers(0, 256, (28, 28, 3), dtype=np.uint8)
+        engine._queue.put(_Request(img, (28, 28), "cls", "none", fut))
+        futs.append(fut)
     engine.close()
     for f in futs:
         with np.testing.assert_raises(RuntimeError):
