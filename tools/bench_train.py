@@ -74,12 +74,21 @@ def main():
     dt64 = run(64)   # worst case: every sentence fills the static 64 slot
     dt32 = run(32)   # the bucket real MIMIC sentences land in (~20 tokens)
 
+    # Derived A100 train baselines (tools/baseline_torch_train.py,
+    # methodology + caveats in BASELINE.md: the bf16 estimate is
+    # optimistic-HIGH for the A100, i.e. conservative for these ratios;
+    # v5e bf16 peak is 0.63x the A100's, so per-chip ratios carry that
+    # hardware gap in addition to software efficiency)
+    a100_bf16_estimate = 318.0
+    a100_bf16_bound = 550.0
     out = {
         "metric": "train_step_throughput",
         "value": round(b / dt64, 1),
         "unit": "samples/sec/chip",
         "step_ms": round(dt64 * 1e3, 1),
         "bucketed_L32_samples_per_sec": round(b / dt32, 1),
+        "vs_a100_bf16_estimate": round(b / dt32 / a100_bf16_estimate, 2),
+        "vs_a100_bf16_peak_bound": round(b / dt32 / a100_bf16_bound, 2),
     }
 
     if "--tower-cache" in sys.argv:
