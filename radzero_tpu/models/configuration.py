@@ -155,6 +155,14 @@ class TextConfig:
     # full L64 slot (114.5 vs 116.4); default on because the flagship
     # preset buckets to [16, 32].
     fuse_post: bool = True
+    # None -> follow the caller's global remat flag; True/False forces
+    # rematerialisation for the text-tower layers only (per-module remat
+    # granularity, mirrors AlignConfig.remat). With ``fuse_post`` the
+    # per-layer autodiff residuals are just (x, attn_out) + the xla
+    # attention internals — small enough that skipping the text forward
+    # recompute can pay once the frozen-tower cache (or small batches)
+    # free the HBM the global-remat recipe was protecting.
+    remat: Optional[bool] = None
 
     @property
     def head_dim(self) -> int:

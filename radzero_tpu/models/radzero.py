@@ -204,6 +204,9 @@ def forward_text(
     (ref modeling.py:125-206). Dispatches on ``cfg.text.model_type``:
     mpnet (default) or bert/bioclinicalmpbert."""
     text_type = getattr(cfg.text, "model_type", "mpnet")
+    if getattr(cfg.text, "remat", None) is not None:
+        # per-module remat override (see TextConfig.remat)
+        remat = cfg.text.remat
     if text_type == "mpnet":
         hidden = mpnet_forward(
             params["text_model"], cfg.text, input_ids, attention_mask, dtype=dtype,

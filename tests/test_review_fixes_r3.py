@@ -265,3 +265,36 @@ def test_resolve_backend_impls_downgrades_off_tpu(monkeypatch):
     )
     out = C.resolve_backend_impls(alt)
     assert out.vision is alt.vision
+
+
+def test_text_remat_override_plumbs_and_matches():
+    """TextConfig.remat overrides the global remat flag for the text
+    tower only (per-module granularity, mirrors AlignConfig.remat);
+    gradients are identical either way — remat changes memory, not math."""
+    from radzero_tpu.models.radzero import forward_train
+
+    cfg = _cfg(vision_impl="xla", align_impl="xla")
+    cfg_override = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, remat=False)
+    )
+    params = init_radzero(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixel_values": jnp.asarray(rng.standard_normal((2, 28, 28, 3)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(3, 100, (4, 8)), jnp.int32),
+        "attention_mask": jnp.ones((4, 8), jnp.int32),
+        "group_map": jnp.asarray([0, 0, 1, 1], jnp.int32),
+        "row_mask": jnp.ones((4,), jnp.float32),
+    }
+
+    def loss_fn(p, c):
+        return forward_train(p, c, batch, remat=True)["losses"]["loss"]
+
+    g_remat = jax.grad(lambda p: loss_fn(p, cfg))(params)
+    g_override = jax.grad(lambda p: loss_fn(p, cfg_override))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        g_remat, g_override,
+    )

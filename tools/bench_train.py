@@ -41,6 +41,17 @@ def main():
     # legal in the train step (no gradient flows through the tower) —
     # same substitution RadZeroTrainer makes
     cfg = RadZeroConfig(vision=ViTConfig(attn_impl="fused"))
+    # per-module remat override probes (ROADMAP training levers):
+    # --text-remat=0/1 / --align-remat=0/1 force the module-level
+    # TextConfig.remat / AlignConfig.remat instead of following the
+    # global remat flag
+    for flag, field in (("--text-remat", "text"), ("--align-remat", "align")):
+        for a in sys.argv:
+            if a.startswith(flag + "="):
+                sub = dataclasses.replace(
+                    getattr(cfg, field), remat=bool(int(a.split("=")[1]))
+                )
+                cfg = dataclasses.replace(cfg, **{field: sub})
     params = init_radzero(jax.random.PRNGKey(0), cfg)
     trainable, frozen = partition_params(params, ["align_transformer", "text_model", "loss_fns"])
     tx, _ = build_optimizer(trainable, total_steps=10000)
