@@ -44,6 +44,19 @@ class ViTConfig:
     # tools/token_filter_study.py.
     token_filter_ratio: float = 0.0
     token_filter_layer: int = 6
+    # Remat granularity when the encoder runs under ``remat=True``:
+    # None -> full per-layer recompute (jax.checkpoint, the default);
+    # "save_attn" -> jax.checkpoint with
+    # ``save_only_these_names("attn_out")`` — the attention output stays
+    # live, so the backward recompute shrinks to the pre-attention
+    # GEMM (the packed-attention custom VJP's only residual is qkv and
+    # the fused pre/post VJPs save exactly their inputs, so the
+    # attention-forward and post-attention/MLP recomputes are dead-code
+    # eliminated). Costs one extra live (B, L, D) per layer — ~140 MB at
+    # the flagship align shapes vs the ~700 MB/layer that a full
+    # no-remat (AlignConfig.remat=False) keeps, which OOMs a 16 GB v5e
+    # at batch 64.
+    remat_policy: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -94,6 +107,9 @@ class AlignConfig:
     # L64 slot. These are the TRAINABLE layers, so unlike the frozen
     # tower they need the VJP variants of the fused kernels.
     attn_impl: str = "fused_vjp"
+    # see ViTConfig.remat_policy (None | "save_attn"); applies to the
+    # adapter layers when they run under remat
+    remat_policy: Optional[str] = None
 
     def as_vit(self) -> ViTConfig:
         return ViTConfig(
@@ -105,6 +121,7 @@ class AlignConfig:
             layerscale_value=self.layerscale_value,
             use_final_layernorm=False,
             attn_impl=self.attn_impl,
+            remat_policy=self.remat_policy,
         )
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from radzero_tpu.models.configuration import ViTConfig
 from radzero_tpu.ops.layers import (
@@ -272,6 +273,7 @@ def dinov2_layer(
         attn_out = _attn_packed(
             qkv, cfg.num_attention_heads, real_len, flash_attention_packed_vjp
         )
+        attn_out = checkpoint_name(attn_out, "attn_out")
         out = fused_postattn_vjp(
             x2, attn_out.reshape(b * l, d),
             a["o"]["kernel"].astype(cdt), a["o"]["bias"].astype(cdt),
@@ -292,8 +294,12 @@ def dinov2_layer(
 
         wqkv, bqkv = _packed_qkv_params(p["attn"], h.dtype)
         qkv = jnp.dot(h, wqkv) + bqkv
-        a = _attn_packed(
-            qkv, cfg.num_attention_heads, real_len, flash_attention_packed_vjp
+        a = checkpoint_name(
+            _attn_packed(
+                qkv, cfg.num_attention_heads, real_len,
+                flash_attention_packed_vjp,
+            ),
+            "attn_out",
         )
     else:
         q = split_heads(linear(h, p["attn"]["q"]), cfg.num_attention_heads)
@@ -305,6 +311,7 @@ def dinov2_layer(
             a = merge_heads(flash_attention(q, k, v, None, None, real_len))
         else:
             a = merge_heads(attention(q, k, v))
+        a = checkpoint_name(a, "attn_out")
     a = linear(a, p["attn"]["o"])
     x = x + a * p["ls1"].astype(x.dtype)
 
@@ -327,7 +334,19 @@ def vit_encoder(
     def body(h, layer_params):
         fn = dinov2_layer
         if remat:
-            fn = jax.checkpoint(dinov2_layer, static_argnums=(2, 3))
+            if cfg.remat_policy == "save_attn":
+                # keep the attention output live: the backward recompute
+                # shrinks to the pre-attention GEMM (see
+                # ViTConfig.remat_policy); ~140 MB extra per layer at
+                # the flagship align shapes
+                fn = jax.checkpoint(
+                    dinov2_layer, static_argnums=(2, 3),
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "attn_out"
+                    ),
+                )
+            else:
+                fn = jax.checkpoint(dinov2_layer, static_argnums=(2, 3))
         return fn(h, layer_params, cfg, real_len), None
 
     x, _ = jax.lax.scan(body, x, layers)

@@ -41,14 +41,14 @@ def _batch(rng):
     }
 
 
-def _grads(stop, remat):
-    params = init_radzero(jax.random.PRNGKey(0), CFG)
+def _grads(stop, remat, cfg=CFG):
+    params = init_radzero(jax.random.PRNGKey(0), cfg)
     trainable, frozen = partition_params(params, ["align_transformer", "text_model", "loss_fns"])
     batch = _batch(np.random.default_rng(0))
 
     def loss_fn(tr):
         p = merge_params(tr, frozen)
-        out = forward_train(p, CFG, batch, stop_vision_gradient=stop, remat=remat)
+        out = forward_train(p, cfg, batch, stop_vision_gradient=stop, remat=remat)
         return out["losses"]["loss"]
 
     return jax.value_and_grad(loss_fn)(trainable)
@@ -65,6 +65,22 @@ def test_stop_vision_gradient_preserves_trainable_grads():
 def test_remat_preserves_grads():
     l0, g0 = _grads(stop=True, remat=False)
     l1, g1 = _grads(stop=True, remat=True)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_save_attn_remat_policy_preserves_grads():
+    """ViTConfig.remat_policy='save_attn' (attention output kept live
+    under remat) must be a pure scheduling change: same loss, same
+    gradients as the full-recompute default."""
+    import dataclasses
+
+    l0, g0 = _grads(stop=True, remat=True)
+    cfg = dataclasses.replace(
+        CFG, align=dataclasses.replace(CFG.align, remat_policy="save_attn")
+    )
+    l1, g1 = _grads(stop=True, remat=True, cfg=cfg)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

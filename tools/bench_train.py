@@ -52,6 +52,16 @@ def main():
                     getattr(cfg, field), remat=bool(int(a.split("=")[1]))
                 )
                 cfg = dataclasses.replace(cfg, **{field: sub})
+    # --align-remat-policy=save_attn keeps the adapter attention output
+    # live under remat (ViTConfig.remat_policy)
+    for a in sys.argv:
+        if a.startswith("--align-remat-policy="):
+            cfg = dataclasses.replace(
+                cfg,
+                align=dataclasses.replace(
+                    cfg.align, remat_policy=a.split("=", 1)[1] or None
+                ),
+            )
     params = init_radzero(jax.random.PRNGKey(0), cfg)
     trainable, frozen = partition_params(params, ["align_transformer", "text_model", "loss_fns"])
     tx, _ = build_optimizer(trainable, total_steps=10000)
