@@ -31,20 +31,40 @@ def initialize_distributed(
     """Initialise JAX's distributed runtime when running multi-process.
 
     With no arguments, relies on cluster autodetection (TPU pods set the
-    environment automatically); silently no-ops when already initialised
-    or single-process.
+    environment automatically) and logs (rather than raising) when
+    autodetection concludes single-process — that is the normal
+    single-host path. With EXPLICIT arguments the caller has declared a
+    multi-process topology, so failure to rendezvous is a genuine
+    misconfiguration and is re-raised: silently degrading to a
+    single-process run would train on 1/k of the data with wrong
+    contrastive negatives.
     """
+    import logging
+
+    log = logging.getLogger("radzero")
+    if coordinator_address:
+        # Explicit topology: let RuntimeError/ValueError propagate.
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        log.info(
+            "jax.distributed initialised: process %d/%d via %s",
+            jax.process_index(), jax.process_count(), coordinator_address,
+        )
+        return
     try:
-        if coordinator_address:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        else:
-            jax.distributed.initialize()
-    except (RuntimeError, ValueError):
-        pass  # already initialised or single-process
+        jax.distributed.initialize()
+        log.info(
+            "jax.distributed initialised via cluster autodetection: "
+            "process %d/%d", jax.process_index(), jax.process_count(),
+        )
+    except (RuntimeError, ValueError) as e:
+        log.info(
+            "jax.distributed not initialised (%s: %s); continuing "
+            "single-process", type(e).__name__, e,
+        )
 
 
 def process_offset(per_process_batch: int) -> int:
