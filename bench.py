@@ -268,6 +268,42 @@ def bench_end_to_end(params, cfg, jnp, n_imgs: int = 192):
         deadline = time.perf_counter() + 30
         while len(latencies) < 3 * len(jpegs) and time.perf_counter() < deadline:
             time.sleep(0.01)
+
+        # --- the OTHER end of the load curve (VERDICT r3 #5) ---------------
+        # Unloaded single-request latency: one request in flight at a
+        # time, so each dispatch is a padded max_batch run plus (up to)
+        # the micro-batching delay. max_delay is read per batch
+        # assembly, so the same warm engine measures every config.
+        def unloaded(n=20, want_maps=True):
+            samples = []
+            for j in jpegs[:n]:
+                t0 = time.perf_counter()
+                engine.submit(j, "cls", want_maps=want_maps).result(timeout=600)
+                samples.append(time.perf_counter() - t0)
+            arr = np.sort(np.asarray(samples))
+            return {
+                "p50_ms": float(arr[int(0.50 * (len(arr) - 1))]) * 1e3,
+                "p99_ms": float(arr[int(0.99 * (len(arr) - 1))]) * 1e3,
+            }
+
+        # latency <-> throughput trade across the micro-batching window:
+        # unloaded latency pays max_delay in full; saturated throughput
+        # gains from fuller batches as the window widens.
+        delay_sweep = {}
+        for delay_ms in (0.0, 5.0, 20.0):
+            engine.max_delay = delay_ms / 1e3
+            lat_u = unloaded(n=20, want_maps=True)
+            t0 = time.perf_counter()
+            futs = [engine.submit(j, "cls", want_maps=True) for j in jpegs]
+            for f in futs:
+                f.result(timeout=600)
+            delay_sweep[f"{delay_ms:g}ms"] = {
+                "unloaded_p50_ms": lat_u["p50_ms"],
+                "unloaded_p99_ms": lat_u["p99_ms"],
+                "saturated_imgs_per_sec": n_imgs / (time.perf_counter() - t0),
+            }
+        engine.max_delay = 0.0
+        unloaded_nomaps = unloaded(n=20, want_maps=False)
     rates.sort()
     lat = np.sort(np.asarray(latencies))
     return {
@@ -276,6 +312,15 @@ def bench_end_to_end(params, cfg, jnp, n_imgs: int = 192):
         "imgs_per_sec_max": rates[-1],
         "request_latency_p50_ms": float(lat[int(0.50 * (len(lat) - 1))]) * 1e3,
         "request_latency_p99_ms": float(lat[int(0.99 * (len(lat) - 1))]) * 1e3,
+        # single-request latency with no queueing (the load curve's other
+        # end); probs-only drops the (1408, 20) map download per image
+        "e2e_unloaded_latency": {
+            "maps_p50_ms": delay_sweep["0ms"]["unloaded_p50_ms"],
+            "maps_p99_ms": delay_sweep["0ms"]["unloaded_p99_ms"],
+            "probs_only_p50_ms": unloaded_nomaps["p50_ms"],
+            "probs_only_p99_ms": unloaded_nomaps["p99_ms"],
+        },
+        "max_delay_sweep": delay_sweep,
     }
 
 
