@@ -12,6 +12,20 @@ import dataclasses
 from dataclasses import dataclass
 from typing import Optional
 
+_REMAT_POLICIES = (None, "save_attn")
+
+
+def _check_remat_policy(policy: Optional[str]) -> None:
+    """Reject unknown remat policies at config-build time: an unmatched
+    value (e.g. a YAML typo like 'save-attn') would otherwise silently
+    fall through to full per-layer recompute in vit_encoder's remat
+    branch, so a misconfigured run would train/measure the wrong policy
+    with no signal."""
+    if policy not in _REMAT_POLICIES:
+        raise ValueError(
+            f"unknown remat_policy {policy!r}; expected one of {_REMAT_POLICIES}"
+        )
+
 
 @dataclass(frozen=True)
 class ViTConfig:
@@ -57,6 +71,9 @@ class ViTConfig:
     # no-remat (AlignConfig.remat=False) keeps, which OOMs a 16 GB v5e
     # at batch 64.
     remat_policy: Optional[str] = None
+
+    def __post_init__(self):
+        _check_remat_policy(self.remat_policy)
 
     @property
     def head_dim(self) -> int:
@@ -110,6 +127,9 @@ class AlignConfig:
     # see ViTConfig.remat_policy (None | "save_attn"); applies to the
     # adapter layers when they run under remat
     remat_policy: Optional[str] = None
+
+    def __post_init__(self):
+        _check_remat_policy(self.remat_policy)
 
     def as_vit(self) -> ViTConfig:
         return ViTConfig(
