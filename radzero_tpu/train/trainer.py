@@ -351,26 +351,40 @@ class RadZeroTrainer:
             running: Dict[str, float] = {}
             running_n = 0
 
-            for batch in self.train_loader:
-                n_samples += len(batch.get("pixel_values", batch.get("tower_tokens", ())))
-                batch = self._resolve_tower(batch)
-                self.trainable, self.opt_state, losses = self.train_step(
-                    self.trainable, self.frozen, self.opt_state, self._put_batch(batch)
-                )
-                self.state.step += 1
+            # H2D/compute overlap: ``device_put`` is async, but reading a
+            # scalar loss blocks until the step completes — so the
+            # previous step's loss consumption is DEFERRED until after
+            # the next batch's upload has been dispatched. The copy then
+            # rides DMA while the previous step computes (double
+            # buffering without threads); matters most on hosts where
+            # the H2D link, not the chip, paces the loop.
+            pending = None  # (step, epoch, losses) awaiting host readout
+
+            def consume(p):
+                nonlocal running, running_n
+                step_no, ep, losses = p
                 for k, v in losses.items():
                     running[k] = running.get(k, 0.0) + float(v)
                 running_n += 1
-
-                if self.state.step % args.logging_steps == 0:
+                if step_no % args.logging_steps == 0:
                     rec = {k: v / running_n for k, v in running.items()}
-                    rec.update(
-                        step=self.state.step,
-                        epoch=epoch,
-                        lr=float(self.schedule(self.state.step)),
-                    )
+                    rec.update(step=step_no, epoch=ep, lr=float(self.schedule(step_no)))
                     self._log(rec)
                     running, running_n = {}, 0
+
+            for batch in self.train_loader:
+                n_samples += len(batch.get("pixel_values", batch.get("tower_tokens", ())))
+                batch = self._resolve_tower(batch)
+                dev_batch = self._put_batch(batch)
+                if pending is not None:
+                    consume(pending)
+                self.trainable, self.opt_state, losses = self.train_step(
+                    self.trainable, self.frozen, self.opt_state, dev_batch
+                )
+                self.state.step += 1
+                pending = (self.state.step, epoch, losses)
+            if pending is not None:
+                consume(pending)
 
             self.state.epoch = epoch + 1
             dt = time.perf_counter() - epoch_t0
