@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Flagship-scale training soak with mid-run kill + resume equivalence
+(VERDICT r3 next-step #3).
+
+The reference's implicit stability proof is its 20-epoch early-stopped
+recipe (/root/reference/exp/cxr_pt/config.yaml:13-27, radzero.yaml:1-72);
+ours so far rested on 2-step tests and a 100-step tiny-shape harness.
+This tool runs hundreds of steps of the REAL recipe on the bench chip —
+batch 64 x 8 sentences, bf16 + remat, bucketed text packing, fused
+kernels, frozen-tower activation cache (RAM) over a synthetic ~2k-image
+dataset so epoch transitions (cache build -> cache hit) occur many
+times — logging loss, both learned temperatures, and samples/s every
+step, with a NaN guard on every loss (the round-3 tau-overflow NaN is
+exactly the class only sustained runs surface).
+
+Three legs (the parent mode runs them all and writes soak_result.json):
+
+  control   steps 0..N straight through; per-step loss curve recorded
+  killed    same seed/data, separate dir; hard os._exit() mid-epoch at
+            step K (no atexit, no checkpoint flush — a real SIGKILL
+            analogue)
+  resumed   restarts from the killed dir's last epoch checkpoint and
+            completes; its post-resume trajectory must match the
+            control's at every shared step number
+
+Determinism note: identical programs + identical data order => the
+resumed leg must reproduce the control bit-for-bit from the restored
+epoch boundary; the assertion uses rtol=1e-5 to stay robust to
+off-device reduction of the logged scalars, and reports the max delta.
+
+Usage:
+  python tools/soak_train.py --steps 500 --out /tmp/soak       # full protocol
+  python tools/soak_train.py --leg control --steps N --out DIR # one leg
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+N_RECORDS = 2000
+BATCH = 64
+SENTS = 8
+IMG = 518
+
+
+def build_loader():
+    from radzero_tpu.data.pipeline import PackSpec, TrainLoader
+    from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
+
+    # deterministic per-record synthetic CXR-shaped images + texts with
+    # realistic sentence-length spread so the [16, 32] buckets engage
+    def load_image(rec):
+        rng = np.random.default_rng(rec["id"] + 1)
+        return rng.standard_normal((IMG, IMG, 3)).astype(np.float32) * 0.5
+
+    words = ["opacity", "effusion", "consolidation", "cardiomegaly", "clear",
+             "left", "right", "lower", "upper", "lobe", "mild", "severe",
+             "pleural", "basilar", "atelectasis", "unchanged"]
+
+    def sentences(i):
+        rng = np.random.default_rng(10_000 + i)
+        out = []
+        for _ in range(int(rng.integers(3, SENTS + 1))):
+            n = int(rng.integers(4, 24))  # ~real MIMIC phrase lengths
+            out.append(" ".join(rng.choice(words, n)))
+        return out
+
+    records = [{"id": i, "key_phrases": sentences(i)} for i in range(N_RECORDS)]
+    return TrainLoader(
+        records, load_image,
+        WhitespaceHashTokenizer(vocab_size=30522, max_length=64),
+        BATCH,
+        PackSpec(max_sentences_per_image=SENTS, max_text_tokens=64,
+                 text_length_buckets=(16, 32)),
+        seed=11, num_threads=2, drop_last=True, with_indices=True,
+    )
+
+
+def run_leg(leg: str, steps: int, out_dir: str, kill_at: int) -> None:
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    cache = os.path.join(REPO, ".jax_cache")
+    if jax.default_backend() != "cpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+    from radzero_tpu.models.configuration import RadZeroConfig
+    from radzero_tpu.train.tower_cache import TowerCache
+    from radzero_tpu.train.trainer import RadZeroTrainer, TrainerArgs
+
+    loader = build_loader()
+    steps_per_epoch = len(loader)
+    epochs = math.ceil(steps / steps_per_epoch)
+    args = TrainerArgs(
+        output_dir=out_dir,
+        num_train_epochs=epochs,
+        logging_steps=1,
+        bf16=True,
+        gradient_checkpointing=True,
+        load_best_model_at_end=False,
+        save_total_limit=3,
+        seed=42,
+    )
+
+    t_last = [time.perf_counter()]
+
+    def on_metrics(rec):
+        if "loss" not in rec:
+            return  # epoch summary record
+        now = time.perf_counter()
+        rec["step_wall_s"] = round(now - t_last[0], 4)
+        t_last[0] = now
+        assert np.isfinite(rec["loss"]), f"NaN/inf loss at step {rec['step']}: {rec}"
+        # learned temperatures (log-parameterised, losses/radzero_loss.py)
+        lp = trainer.trainable["loss_fns"]["RadZeroLoss"]
+        rec["loss_temperature"] = float(np.exp(np.asarray(lp["log_loss_temperature"])[0]))
+        if "log_attn_temperature" in lp:
+            rec["attn_temperature"] = float(np.exp(np.asarray(lp["log_attn_temperature"])[0]))
+        assert rec["loss_temperature"] > 1e-4, (
+            f"learned temperature collapsed at step {rec['step']}: {rec}"
+        )
+        if leg == "killed" and rec["step"] >= kill_at:
+            print(f"soak[{leg}]: hard-exit at step {rec['step']}", flush=True)
+            sys.stdout.flush()
+            os._exit(17)  # no cleanup: a kill -9 analogue
+
+    trainer = RadZeroTrainer(
+        RadZeroConfig(), args, loader,
+        tower_cache=TowerCache(backing="ram"),
+        metrics_callback=on_metrics,
+    )
+    trainer.train(resume_from_checkpoint=(True if leg == "resumed" else None))
+    print(f"soak[{leg}]: done ({trainer.state.step} steps)", flush=True)
+
+
+def read_log(out_dir: str):
+    recs = {}
+    with open(os.path.join(out_dir, "log_history.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if "loss" in r and "step" in r:
+                recs[r["step"]] = r  # later records win (resume overwrites)
+    return recs
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--out", default="/tmp/radzero_soak")
+    ap.add_argument("--leg", choices=["control", "killed", "resumed"], default=None)
+    ap.add_argument("--kill-at", type=int, default=None)
+    args = ap.parse_args()
+    kill_at = args.kill_at or args.steps // 2
+
+    if args.leg:
+        run_leg(args.leg, args.steps, args.out, kill_at)
+        return
+
+    # parent protocol: three legs in child processes (the killed leg
+    # must be able to os._exit without taking the parent down)
+    ctrl_dir = os.path.join(args.out, "control")
+    kill_dir = os.path.join(args.out, "killed")
+    os.makedirs(ctrl_dir, exist_ok=True)
+    os.makedirs(kill_dir, exist_ok=True)
+
+    def spawn(leg, out_dir):
+        cmd = [sys.executable, os.path.abspath(__file__), "--leg", leg,
+               "--steps", str(args.steps), "--out", out_dir,
+               "--kill-at", str(kill_at)]
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, cwd=REPO)
+        print(f"leg {leg}: rc={r.returncode} in {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        return r.returncode
+
+    rc = spawn("control", ctrl_dir)
+    assert rc == 0, f"control leg failed rc={rc}"
+    rc = spawn("killed", kill_dir)
+    assert rc == 17, f"killed leg should hard-exit 17, got rc={rc}"
+    rc = spawn("resumed", kill_dir)
+    assert rc == 0, f"resumed leg failed rc={rc}"
+
+    control = read_log(ctrl_dir)
+    resumed = read_log(kill_dir)
+    shared = sorted(set(control) & set(resumed))
+    assert shared, "no shared steps between control and resumed logs"
+    deltas = [abs(control[s]["loss"] - resumed[s]["loss"]) for s in shared]
+    rel = [d / max(abs(control[s]["loss"]), 1e-9) for d, s in zip(deltas, shared)]
+    max_rel = max(rel)
+    post_resume = [s for s in shared if s > kill_at]
+    assert post_resume, "resumed leg never got past the kill point"
+    assert max_rel < 1e-5, (
+        f"resumed trajectory diverged from control: max rel delta {max_rel:.2e}"
+    )
+
+    losses = [control[s]["loss"] for s in sorted(control)]
+    k = max(len(losses) // 10, 1)
+    result = {
+        "metric": "train_soak",
+        "steps": len(losses),
+        "loss_first10_mean": float(np.mean(losses[:k])),
+        "loss_last10_mean": float(np.mean(losses[-k:])),
+        "loss_curve_every10": [round(v, 4) for v in losses[::10]],
+        "loss_temperature_final": control[max(control)]["loss_temperature"],
+        "attn_temperature_final": control[max(control)].get("attn_temperature"),
+        "samples_per_sec_last_epoch_mean": round(
+            BATCH / float(np.mean([control[s]["step_wall_s"]
+                                   for s in sorted(control)[-len(losses) // 10:]])), 1),
+        "kill_at_step": kill_at,
+        "resume_max_rel_loss_delta": max_rel,
+        "nan_guard": "green",
+    }
+    assert result["loss_last10_mean"] < result["loss_first10_mean"], result
+    with open(os.path.join(args.out, "soak_result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
