@@ -186,3 +186,77 @@ def test_initialize_distributed_explicit_args_raise(monkeypatch):
         )
     # no coordinator given -> autodetect concluded single-process: no-op
     multihost.initialize_distributed()
+
+
+@pytest.fixture(scope="module")
+def mp_run4(tmp_path_factory):
+    """k=4 real processes, 1 local device each -> a 4-device global mesh
+    with one process per device (the torchrun --nproc_per_node=4 shape,
+    /root/reference/README.md:156). Train + barrier only: the eval merge
+    is already covered by the 2-process run, and the bench host has one
+    core to timeshare."""
+    wk = _load_worker_module()
+    out = str(tmp_path_factory.mktemp("mp4_out"))
+    port = _free_port()
+    env = _worker_env(local_devices=1)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER,
+             "--process-id", str(k), "--num-processes", "4",
+             "--port", str(port), "--out", out, "--data-root", out,
+             "--skip-eval"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for k in range(4)
+    ]
+    for k, p in enumerate(procs):
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank {k} failed:\n{stdout[-4000:]}"
+    records = []
+    for k in range(4):
+        with open(os.path.join(out, f"worker.rank{k}.json")) as f:
+            records.append(json.load(f))
+    return wk, records
+
+
+def test_four_process_world(mp_run4):
+    _, records = mp_run4
+    for k, rec in enumerate(records):
+        assert rec["process_index"] == k
+        assert rec["process_count"] == 4
+        assert rec["local_devices"] == 1
+        assert rec["global_devices"] == 4
+
+
+def test_four_process_loss_matches_single_process(mp_run4):
+    """Global steps over 4 rank shards (each rank holds 1 batch/epoch, so
+    step 2 rolls into the loader's next epoch) must equal a one-process
+    run over the reconstructed global batches."""
+    import jax.numpy as jnp
+
+    wk, records = mp_run4
+    for k in range(1, 4):
+        np.testing.assert_allclose(
+            records[0]["losses"], records[k]["losses"], rtol=1e-6)
+
+    cfg = wk.tiny_config()
+    its = [wk.batches(wk.make_loader(k, 4)) for k in range(4)]
+    from radzero_tpu.train.step import make_train_step
+
+    trainable, frozen, tx, opt_state = wk.make_train_state(cfg)
+    step = make_train_step(cfg, tx, dtype=jnp.float32, donate=False)
+    control = []
+    for _ in range(wk.N_STEPS):
+        locals_ = [dict(next(it)) for it in its]
+        gbatch = {
+            k: np.concatenate([lb[k] for lb in locals_], axis=0)
+            for k in locals_[0]
+        }
+        trainable, opt_state, ldict = step(trainable, frozen, opt_state, gbatch)
+        control.append(float(ldict["loss"]))
+    np.testing.assert_allclose(records[0]["losses"], control, rtol=2e-5)

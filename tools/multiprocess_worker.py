@@ -102,6 +102,17 @@ def make_loader(process_index: int, process_count: int):
     )
 
 
+def batches(loader):
+    """Epoch-cycling batch stream: with k processes the per-rank shard
+    may hold fewer than N_STEPS batches (8 records / k ranks / batch 2),
+    so step draws roll over into the loader's next deterministic epoch.
+    The parent test's single-process control uses this same helper so
+    both sides see identical data order."""
+    while True:
+        for b in loader:
+            yield b
+
+
 def make_train_state(cfg):
     import jax
 
@@ -208,6 +219,10 @@ def main() -> None:
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--out", required=True, help="shared output directory")
     ap.add_argument("--data-root", required=True, help="pre-built eval data root")
+    ap.add_argument("--skip-eval", action="store_true",
+                    help="train + barrier only (the 4-process leg keeps "
+                         "the 1-core host load bounded; the eval merge is "
+                         "covered by the 2-process run)")
     args = ap.parse_args()
 
     import jax
@@ -248,7 +263,7 @@ def main() -> None:
     step = make_train_step(cfg, tx, dtype=jnp.float32, donate=False)
 
     losses = []
-    it = iter(loader)
+    it = batches(loader)
     for _ in range(N_STEPS):
         local = next(it)
         gbatch = local_batch_to_global(dict(local), mesh)
@@ -262,16 +277,18 @@ def main() -> None:
     # 5. dataset-sharded distributed eval, ranks auto-detected from the
     #    REAL runtime; run_id agreed via broadcast_one_to_all; rank 0
     #    merges parts from the shared filesystem
-    from radzero_tpu.eval.distributed import DistributedInference
+    merged_cls = merged_det = None
+    if not args.skip_eval:
+        from radzero_tpu.eval.distributed import DistributedInference
 
-    scorer = make_scorer(cfg)
-    dist = DistributedInference(
-        CLS_DATASETS, DET_DATASETS, [], args.data_root,
-        batch_size=4, merge_timeout_s=600.0,
-    )
-    merged_cls = dist.classification(scorer, os.path.join(args.out, "cls"))
-    merged_det = dist.grounding(scorer, os.path.join(args.out, "det"))
-    sync("post-eval")
+        scorer = make_scorer(cfg)
+        dist = DistributedInference(
+            CLS_DATASETS, DET_DATASETS, [], args.data_root,
+            batch_size=4, merge_timeout_s=600.0,
+        )
+        merged_cls = dist.classification(scorer, os.path.join(args.out, "cls"))
+        merged_det = dist.grounding(scorer, os.path.join(args.out, "det"))
+        sync("post-eval")
 
     record = {
         "process_index": pi,
