@@ -130,6 +130,17 @@ def main():
         # that must cross host<->device per batch in cached mode.
         from radzero_tpu.train.tower_cache import make_tower_fn
 
+        # mirror RadZeroTrainer: with the tower out of the step graph the
+        # align adapter defaults to no-remat (explicit --align-remat wins)
+        cfg_cached = cfg
+        if cfg.align.remat is None:
+            cfg_cached = dataclasses.replace(
+                cfg, align=dataclasses.replace(cfg.align, remat=False)
+            )
+        step_cached = make_train_step(
+            cfg_cached, tx, dtype=jnp.bfloat16, donate=True, remat=True
+        )
+
         tower_fn = make_tower_fn(cfg, dtype=jnp.bfloat16)
         pixels = jnp.asarray(rng.standard_normal((b, 518, 518, 3)), jnp.float32)
         tokens = tower_fn(frozen["vision_model"], pixels)
@@ -143,13 +154,13 @@ def main():
                 "group_map": jnp.asarray(np.repeat(np.arange(b), spi), jnp.int32),
                 "row_mask": jnp.ones((s,), jnp.float32),
             }
-            t, o, losses = step(state["trainable"], frozen, state["opt_state"], batch)
+            t, o, losses = step_cached(state["trainable"], frozen, state["opt_state"], batch)
             state["trainable"], state["opt_state"] = t, o
             float(losses["loss"])
             iters = 5
             t0 = time.perf_counter()
             for _ in range(iters):
-                t, o, losses = step(state["trainable"], frozen, state["opt_state"], batch)
+                t, o, losses = step_cached(state["trainable"], frozen, state["opt_state"], batch)
                 state["trainable"], state["opt_state"] = t, o
             float(losses["loss"])
             return (time.perf_counter() - t0) / iters
