@@ -38,6 +38,21 @@ class PackSpec:
     # FLOPs 2-4x vs always padding to the static 64 slot; the train step
     # re-jits once per distinct bucket (len(buckets)+1 executables max).
     text_length_buckets: tuple = ()
+    # Sentence dedup (opt-in): LLM-extracted finding sentences repeat
+    # heavily across a batch's images ("There is no pleural effusion."
+    # appears under most normal studies), yet the reference encodes
+    # every row (exp/cxr_pt/model/losses.py:135-147 runs the text tower
+    # per image, duplicates included). With ``dedup_slots = U > 0`` the
+    # packed batch carries only the UNIQUE (input_ids, attention_mask)
+    # rows (padded to the static U) plus a ``row_gather`` (S,) map; the
+    # text tower runs on U rows and features gather back to S — the
+    # gather's VJP scatter-adds duplicate-row gradients, so the loss and
+    # its gradients are exactly the non-dedup computation. Batches with
+    # more than U unique rows fall back to the plain (S,) layout (one
+    # extra executable, like a length bucket). Single-process loaders
+    # only: ranks may disagree on the fallback, which would give the
+    # global-view step mismatched shapes across processes.
+    dedup_slots: int = 0
 
 
 def pack_batch(
@@ -66,6 +81,23 @@ def pack_batch(
     n_real = len(texts)
     texts = texts + [""] * (S - n_real)
     ids, mask = tokenizer(texts, spec.max_text_tokens)
+
+    row_gather = None
+    if spec.dedup_slots:
+        uniq, inverse = np.unique(
+            np.concatenate([ids, mask], axis=1), axis=0, return_inverse=True
+        )
+        if len(uniq) <= spec.dedup_slots:
+            l_tok = ids.shape[1]
+            pad = np.broadcast_to(
+                uniq[:1], (spec.dedup_slots - len(uniq), uniq.shape[1])
+            )
+            uniq = np.concatenate([uniq, pad], axis=0)
+            ids = np.ascontiguousarray(uniq[:, :l_tok])
+            mask = np.ascontiguousarray(uniq[:, l_tok:])
+            row_gather = inverse.astype(np.int32)
+        # else: fall back to the plain (S,) layout for this batch
+
     if spec.text_length_buckets:
         longest = int(mask.sum(axis=1).max()) if n_real else 1
         for b in sorted(spec.text_length_buckets):
@@ -85,6 +117,8 @@ def pack_batch(
         "group_map": group_map,
         "row_mask": row_mask,
     }
+    if row_gather is not None:
+        batch["row_gather"] = row_gather
 
     if spec.with_random_positive:
         rand_texts = [rec["key_phrases"][rng.integers(len(rec["key_phrases"]))] for rec in records]
@@ -179,6 +213,17 @@ class TrainLoader:
                 )
                 spec = dataclasses.replace(spec, text_length_buckets=())
                 self.spec = spec
+            # Dedup's unique-count fallback is batch-content-dependent the
+            # same way (one rank over dedup_slots, another under ->
+            # mismatched text shapes in the global step). No silent
+            # downgrade here: the caller opted in for a FLOP saving that
+            # cannot exist multi-host, so tell them.
+            if spec.dedup_slots:
+                raise ValueError(
+                    "dedup_slots requires process_count == 1: the unique-"
+                    "count fallback is batch-content-dependent and would "
+                    "desync text shapes across processes"
+                )
             # drop_last=False can give processes unequal batch counts
             # (e.g. 9 records, 2 procs, bs 4 -> 2 vs 1 batches), desyncing
             # collectives at the epoch tail.

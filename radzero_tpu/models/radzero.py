@@ -292,6 +292,18 @@ def forward_train(
                 params, cfg, batch["input_ids"], batch["attention_mask"], dtype=dtype,
                 remat=remat,
             )
+            if "row_gather" in batch:
+                # deduped text block (PackSpec.dedup_slots): the tower ran
+                # on the U unique sentences; gather features back to the
+                # S loss rows. The gather's VJP scatter-adds duplicate
+                # rows' gradients, so loss and grads equal the non-dedup
+                # computation exactly (the reference encodes duplicates
+                # per image, losses.py:135-147).
+                g = batch["row_gather"]
+                text = {
+                    "text_features_wo_l2_norm": text["text_features_wo_l2_norm"][g],
+                    "text_features": text["text_features"][g],
+                }
             train_impl = (
                 "fused_train"
                 if (cfg.loss.train_impl == "fused" and cfg.loss.sim_op == "cos")

@@ -73,11 +73,32 @@ def main():
     s = b * spi
     state = {"trainable": trainable, "opt_state": opt_state}
 
+    # --dedup-slots=U: probe the sentence-dedup text layout
+    # (PackSpec.dedup_slots) — U unique rows + a row_gather map, e.g.
+    # U=256 models 2x sentence duplication across the batch's images
+    dedup_slots = 0
+    for a in sys.argv:
+        if a.startswith("--dedup-slots="):
+            dedup_slots = int(a.split("=")[1])
+
+    def text_block(l):
+        if dedup_slots:
+            return {
+                "input_ids": jnp.asarray(
+                    rng.integers(3, 30000, (dedup_slots, l)), jnp.int32),
+                "attention_mask": jnp.ones((dedup_slots, l), jnp.int32),
+                "row_gather": jnp.asarray(
+                    rng.integers(0, dedup_slots, (s,)), jnp.int32),
+            }
+        return {
+            "input_ids": jnp.asarray(rng.integers(3, 30000, (s, l)), jnp.int32),
+            "attention_mask": jnp.ones((s, l), jnp.int32),
+        }
+
     def run(l):
         batch = {
             "pixel_values": jnp.asarray(rng.standard_normal((b, 518, 518, 3)), jnp.float32),
-            "input_ids": jnp.asarray(rng.integers(3, 30000, (s, l)), jnp.int32),
-            "attention_mask": jnp.ones((s, l), jnp.int32),
+            **text_block(l),
             "group_map": jnp.asarray(np.repeat(np.arange(b), spi), jnp.int32),
             "row_mask": jnp.ones((s,), jnp.float32),
         }
@@ -149,8 +170,7 @@ def main():
         def run_cached(l):
             batch = {
                 "tower_tokens": tokens,
-                "input_ids": jnp.asarray(rng.integers(3, 30000, (s, l)), jnp.int32),
-                "attention_mask": jnp.ones((s, l), jnp.int32),
+                **text_block(l),
                 "group_map": jnp.asarray(np.repeat(np.arange(b), spi), jnp.int32),
                 "row_mask": jnp.ones((s,), jnp.float32),
             }
