@@ -117,6 +117,9 @@ def main() -> None:
         max_sentences_per_image=cfg["train"].get("max_sentences_per_image", 8),
         max_text_tokens=cfg["train"].get("max_text_tokens", 64),
         text_length_buckets=tuple(cfg["train"].get("text_length_buckets", ())),
+        # opt-in sentence dedup (PackSpec.dedup_slots): encode only the
+        # unique sentences per batch; single-process runs only
+        dedup_slots=int(cfg["train"].get("dedup_slots", 0)),
         # CLIP/SigLIP aux losses consume one random positive per image
         # (ref dataset.py:164-170 encoded_random_key_phrases)
         with_random_positive=any(
