@@ -288,6 +288,12 @@ class RadZeroTrainer:
 
     # ------------------------------------------------------------------
     def _log(self, record: Dict[str, Any]) -> None:
+        # The callback runs FIRST and may enrich the record in place
+        # (e.g. tools/soak_train.py stamps per-step wall time and the
+        # learned temperatures); everything it adds is then durable in
+        # log_history.jsonl rather than living only in memory.
+        if self.metrics_callback:
+            self.metrics_callback(record)
         self.state.log_history.append(record)
         logger.info(
             " ".join(
@@ -306,8 +312,6 @@ class RadZeroTrainer:
                 f.write(json.dumps(record, default=float) + "\n")
         except OSError:
             pass
-        if self.metrics_callback:
-            self.metrics_callback(record)
         if self.args.report_to == "wandb":
             try:
                 import wandb

@@ -148,3 +148,32 @@ def test_save_total_limit_keeps_best(tmp_path):
     # at most the limit + the best checkpoint survive pruning
     assert 1 <= len(kept) <= 2
     assert state.best_checkpoint in kept
+
+
+def test_metrics_callback_enrichment_is_durable(tmp_path):
+    """The callback runs BEFORE persistence, so fields it adds land in
+    log_history.jsonl (tools/soak_train.py stamps per-step wall time and
+    the learned temperatures this way; a round-4 bug persisted the line
+    first, so the soak's final assembly KeyError'd on its own fields)."""
+    import json
+    import os
+
+    train, evalset = _loaders()
+    args = TrainerArgs(
+        output_dir=str(tmp_path), num_train_epochs=1, warmup_steps=1,
+        logging_steps=1, bf16=False, early_stopping_patience=5,
+    )
+
+    def enrich(rec):
+        if "loss" in rec:
+            rec["enriched_field"] = 123.0
+
+    trainer = RadZeroTrainer(CFG, args, train, evalset, metrics_callback=enrich)
+    trainer.train()
+    with open(os.path.join(str(tmp_path), "log_history.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    step_recs = [r for r in recs if "loss" in r and "step" in r]
+    assert step_recs, "no per-step records logged"
+    assert all(r.get("enriched_field") == 123.0 for r in step_recs), (
+        "callback enrichment missing from the durable log"
+    )
