@@ -71,6 +71,17 @@ class TowerCache:
     NOT capture the (checkpoint, processor) pair that produced the
     tokens — point ``path`` at a run-scoped directory unless you know
     the tower inputs are unchanged.
+    ``backing="device"``: the store lives in HBM as one (n_records,
+    L, D) array (requires ``n_records``); ``get`` is an on-device
+    gather and ``put`` an on-device scatter, so cached epochs move ZERO
+    token bytes across the host link — on hosts where that link paces
+    the loop (the reference's token payload is 2.16 MB/image; a
+    60 MB/s tunnel pays 2.3 s/batch-64, even PCIe pays ~9 ms) this
+    removes the cache's entire transfer cost. HBM must hold the store
+    (flagship tokens: ~2.16 MB/record -> ~4.3 GB per 2k records)
+    alongside the cached train step; sized for small/medium datasets or
+    per-host shards of a distributed one. Single-store semantics match
+    the host backings bit-for-bit (tests/test_tower_cache.py).
     """
 
     def __init__(
@@ -80,16 +91,23 @@ class TowerCache:
         path: Optional[str] = None,
         n_records: Optional[int] = None,
     ):
-        if backing not in ("ram", "memmap"):
-            raise ValueError(f"backing must be 'ram' or 'memmap', got {backing!r}")
+        if backing not in ("ram", "memmap", "device"):
+            raise ValueError(
+                f"backing must be 'ram', 'memmap' or 'device', got {backing!r}"
+            )
         if backing == "memmap" and (path is None or n_records is None):
             raise ValueError("memmap backing requires path= and n_records=")
+        if backing == "device" and n_records is None:
+            raise ValueError("device backing requires n_records=")
         self.backing = backing
         self.path = path
         self.n_records = n_records
         self._ram: Dict[int, np.ndarray] = {}
         self._mm: Optional[np.memmap] = None
         self._present: Optional[np.ndarray] = None
+        self._store = None       # device backing: (n_records, L, D) on-chip
+        self._scatter = None     # jitted donate-in-place store update
+        self._gather = None      # jitted store row gather
         self.hits = 0
         self.misses = 0
 
@@ -130,9 +148,32 @@ class TowerCache:
             with open(mn, "w") as f:
                 json.dump(meta, f)
 
-    def put(self, indices: np.ndarray, tokens: np.ndarray) -> None:
-        """Store ``tokens[i]`` under record index ``indices[i]``."""
+    def _ensure_device_store(self, token_shape, dtype) -> None:
+        if self._store is not None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        self._store = jnp.zeros((self.n_records, *token_shape), dtype)
+        self._present = np.zeros((self.n_records,), np.uint8)
+        # donate the store so the update is in place (no 2x HBM spike)
+        self._scatter = jax.jit(
+            lambda store, idx, tok: store.at[idx].set(tok), donate_argnums=(0,)
+        )
+        self._gather = jax.jit(lambda store, idx: jnp.take(store, idx, axis=0))
+
+    def put(self, indices: np.ndarray, tokens) -> None:
+        """Store ``tokens[i]`` under record index ``indices[i]``.
+        ``tokens`` may be a device array; host backings copy it to host,
+        the device backing scatters it into the on-chip store directly
+        (no device->host readback)."""
         indices = np.asarray(indices)
+        if self.backing == "device":
+            self._ensure_device_store(tokens.shape[1:], tokens.dtype)
+            self._store = self._scatter(self._store, indices, tokens)
+            self._present[indices] = 1
+            return
+        tokens = np.asarray(tokens)
         if self.backing == "ram":
             for i, idx in enumerate(indices):
                 self._ram[int(idx)] = np.array(tokens[i], copy=True)
@@ -165,11 +206,18 @@ class TowerCache:
         except (OSError, ValueError, KeyError):
             return False
 
-    def get(self, indices: np.ndarray) -> Optional[np.ndarray]:
-        """The stacked tokens for ``indices``, or None unless ALL are
-        present (a partial batch would still need a tower dispatch, so
-        the caller recomputes the whole batch and re-puts)."""
+    def get(self, indices: np.ndarray):
+        """The stacked tokens for ``indices`` (np array for host
+        backings, device array for ``backing="device"``), or None unless
+        ALL are present (a partial batch would still need a tower
+        dispatch, so the caller recomputes the whole batch and re-puts)."""
         indices = np.asarray(indices)
+        if self.backing == "device":
+            if self._present is None or not self._present[indices].all():
+                self.misses += 1
+                return None
+            self.hits += 1
+            return self._gather(self._store, indices)
         if self.backing == "ram":
             if any(int(i) not in self._ram for i in indices):
                 self.misses += 1
@@ -196,6 +244,9 @@ class TowerCache:
     def nbytes(self) -> int:
         if self.backing == "ram":
             return sum(a.nbytes for a in self._ram.values())
+        if self.backing == "device":
+            return 0 if self._store is None else int(
+                np.prod(self._store.shape)) * self._store.dtype.itemsize
         return 0 if self._mm is None else self._mm.nbytes
 
     def stats(self) -> Dict[str, int]:

@@ -253,7 +253,9 @@ class RadZeroTrainer:
                 self.frozen["vision_model"],
                 jax.device_put(pixels, batch_sharding(self.mesh)),
             )
-            self.tower_cache.put(idx, np.asarray(tokens))
+            # host backings copy to host inside put; the device backing
+            # scatters into its on-chip store with no D2H readback
+            self.tower_cache.put(idx, tokens)
         batch["tower_tokens"] = tokens
         return batch
 

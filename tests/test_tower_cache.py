@@ -237,3 +237,49 @@ def test_tower_cache_defaults_align_no_remat(tmp_path):
     train3, eval3 = _loaders(with_indices=False)
     t3 = RadZeroTrainer(CFG, _args(tmp_path, "nr3"), train3, eval3)
     assert t3.cfg.align.remat is None
+
+
+def test_tower_cache_device_roundtrip():
+    """Device backing: on-chip store, gather/scatter semantics identical
+    to the host backings (bit-exact), zero host bytes on the get path."""
+    import jax.numpy as jnp
+
+    c = TowerCache("device", n_records=8)
+    rng = np.random.default_rng(2)
+    tok = jnp.asarray(rng.standard_normal((3, 5, 4)), jnp.bfloat16)
+    idx = np.array([1, 6, 3])
+    assert c.get(idx) is None  # cold
+    c.put(idx, tok)
+    got = c.get(np.array([3, 1, 6]))  # any order, device array out
+    assert got is not None and got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(tok, np.float32)[[2, 0, 1]]
+    )
+    assert c.get(np.array([1, 2])) is None  # 2 never stored -> whole-batch miss
+    assert c.n_cached == 3
+    assert c.nbytes == 8 * 5 * 4 * 2  # full preallocated store, bf16
+    with pytest.raises(ValueError, match="device"):
+        TowerCache("device")
+
+
+def test_trainer_tower_cache_device_matches_ram(tmp_path):
+    """Trainer integration: device backing trains to the same params as
+    the RAM backing (same seed, same data) with the same hit/miss
+    profile — the store never leaves the chip."""
+    import jax
+
+    train_r, eval_r = _loaders(with_indices=True)
+    ram = TowerCache("ram")
+    t_r = RadZeroTrainer(CFG, _args(tmp_path, "ram"), train_r, eval_r,
+                         tower_cache=ram)
+    t_r.train()
+
+    train_d, eval_d = _loaders(with_indices=True)
+    dev = TowerCache("device", n_records=16)
+    t_d = RadZeroTrainer(CFG, _args(tmp_path, "dev"), train_d, eval_d,
+                         tower_cache=dev)
+    t_d.train()
+
+    assert dev.misses == len(train_d) and dev.hits == len(train_d)
+    for a, b in zip(jax.tree.leaves(t_r.trainable), jax.tree.leaves(t_d.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)

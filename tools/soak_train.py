@@ -59,10 +59,20 @@ def build_loader():
     from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
 
     # deterministic per-record synthetic CXR-shaped images + texts with
-    # realistic sentence-length spread so the [16, 32] buckets engage
+    # realistic sentence-length spread so the [16, 32] buckets engage.
+    # Images are memoized (2000 x 3.2 MB ~= 6.4 GB host RAM): generating
+    # 805k gaussians costs ~24 ms/image on this 1-core host, which would
+    # add ~1.5 s/step of pure RNG to every batch — a synthetic-data cost
+    # a real dataset (decoded once to a processed array) does not have.
+    _img_memo = {}
+
     def load_image(rec):
-        rng = np.random.default_rng(rec["id"] + 1)
-        return rng.standard_normal((IMG, IMG, 3)).astype(np.float32) * 0.5
+        arr = _img_memo.get(rec["id"])
+        if arr is None:
+            rng = np.random.default_rng(rec["id"] + 1)
+            arr = rng.standard_normal((IMG, IMG, 3)).astype(np.float32) * 0.5
+            _img_memo[rec["id"]] = arr
+        return arr
 
     words = ["opacity", "effusion", "consolidation", "cardiomegaly", "clear",
              "left", "right", "lower", "upper", "lobe", "mild", "severe",
@@ -87,7 +97,8 @@ def build_loader():
     )
 
 
-def run_leg(leg: str, steps: int, out_dir: str, kill_at: int) -> None:
+def run_leg(leg: str, steps: int, out_dir: str, kill_at: int,
+            backing: str = "device") -> None:
     import jax
     import jax.numpy as jnp  # noqa: F401
 
@@ -139,9 +150,16 @@ def run_leg(leg: str, steps: int, out_dir: str, kill_at: int) -> None:
             sys.stdout.flush()
             os._exit(17)  # no cleanup: a kill -9 analogue
 
+    # device backing: the token store lives in HBM (4.3 GB for these 2k
+    # records), so cached epochs move zero token bytes over the host
+    # link — on this 60 MB/s bench tunnel the RAM backing would pay
+    # 2.3 s/batch of upload, an environment artifact the soak's
+    # stability purpose doesn't need (--backing ram measures that mode)
+    cache = (TowerCache(backing="device", n_records=N_RECORDS)
+             if backing == "device" else TowerCache(backing=backing))
     trainer = RadZeroTrainer(
         RadZeroConfig(), args, loader,
-        tower_cache=TowerCache(backing="ram"),
+        tower_cache=cache,
         metrics_callback=on_metrics,
     )
     trainer.train(resume_from_checkpoint=(True if leg == "resumed" else None))
@@ -164,11 +182,15 @@ def main():
     ap.add_argument("--out", default="/tmp/radzero_soak")
     ap.add_argument("--leg", choices=["control", "killed", "resumed"], default=None)
     ap.add_argument("--kill-at", type=int, default=None)
+    ap.add_argument("--backing", choices=["ram", "device"], default="device",
+                    help="tower-cache store: 'device' keeps tokens in HBM "
+                         "(zero per-step token transfer); 'ram' exercises "
+                         "the host store + per-step upload path")
     args = ap.parse_args()
     kill_at = args.kill_at or args.steps // 2
 
     if args.leg:
-        run_leg(args.leg, args.steps, args.out, kill_at)
+        run_leg(args.leg, args.steps, args.out, kill_at, backing=args.backing)
         return
 
     # parent protocol: three legs in child processes (the killed leg
@@ -181,7 +203,7 @@ def main():
     def spawn(leg, out_dir):
         cmd = [sys.executable, os.path.abspath(__file__), "--leg", leg,
                "--steps", str(args.steps), "--out", out_dir,
-               "--kill-at", str(kill_at)]
+               "--kill-at", str(kill_at), "--backing", args.backing]
         t0 = time.perf_counter()
         r = subprocess.run(cmd, cwd=REPO)
         print(f"leg {leg}: rc={r.returncode} in {time.perf_counter() - t0:.0f}s",
