@@ -141,7 +141,8 @@ def main() -> None:
 
             if isinstance(tc_cfg, str):
                 tc_cfg = {"backing": tc_cfg}
-            if tc_cfg.get("backing") == "memmap":
+            backing = tc_cfg.get("backing", "ram")
+            if backing == "memmap":
                 import os as _os
 
                 tower_cache = TowerCache(
@@ -149,8 +150,15 @@ def main() -> None:
                     path=tc_cfg.get("path") or _os.path.join(output_dir, "tower_cache"),
                     n_records=len(datasets["train"]),
                 )
+            elif backing == "device":
+                tower_cache = TowerCache(
+                    "device", n_records=len(datasets["train"])
+                )
             else:
-                tower_cache = TowerCache("ram")
+                # TowerCache validates the string, so a YAML typo
+                # ('memap', 'hbm', ...) errors here instead of silently
+                # training on the RAM backing
+                tower_cache = TowerCache(backing)
 
         train_loader = TrainLoader(
             datasets["train"], loader, tokenizer,

@@ -293,9 +293,18 @@ class RadZeroTrainer:
         # The callback runs FIRST and may enrich the record in place
         # (e.g. tools/soak_train.py stamps per-step wall time and the
         # learned temperatures); everything it adds is then durable in
-        # log_history.jsonl rather than living only in memory.
-        if self.metrics_callback:
-            self.metrics_callback(record)
+        # log_history.jsonl rather than living only in memory. A RAISING
+        # callback (NaN-guard asserts) must still not lose the record —
+        # the one that matters most for diagnosing the failure — so
+        # persistence runs in the finally and the exception propagates
+        # after it.
+        try:
+            if self.metrics_callback:
+                self.metrics_callback(record)
+        finally:
+            self._persist_log(record)
+
+    def _persist_log(self, record: Dict[str, Any]) -> None:
         self.state.log_history.append(record)
         logger.info(
             " ".join(

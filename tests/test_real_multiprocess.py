@@ -62,25 +62,34 @@ def mp_run(tmp_path_factory):
     data_root = wk.build_eval_root(str(tmp_path_factory.mktemp("mp_data")))
     port = _free_port()
     env = _worker_env()
+    # stdout goes to per-rank FILES, not PIPEs: with PIPEs, a rank that
+    # outgrows the ~64 KB pipe buffer while the parent waits on another
+    # rank blocks on write inside a collective, deadlocking both ranks
+    # until the timeout — and losing the failing rank's diagnostics.
+    log_files = [open(os.path.join(out, f"rank{k}.log"), "w+") for k in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER,
              "--process-id", str(k), "--num-processes", "2",
              "--port", str(port), "--out", out, "--data-root", data_root],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, stdout=log_files[k], stderr=subprocess.STDOUT, text=True,
         )
         for k in range(2)
     ]
     logs = []
     for k, p in enumerate(procs):
         try:
-            stdout, _ = p.communicate(timeout=900)
+            p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
-        logs.append(stdout)
-        assert p.returncode == 0, f"rank {k} failed:\n{stdout[-4000:]}"
+        finally:
+            log_files[k].flush()
+            log_files[k].seek(0)
+            logs.append(log_files[k].read())
+            log_files[k].close()
+        assert p.returncode == 0, f"rank {k} failed:\n{logs[k][-4000:]}"
     records = []
     for k in range(2):
         with open(os.path.join(out, f"worker.rank{k}.json")) as f:
@@ -199,23 +208,30 @@ def mp_run4(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("mp4_out"))
     port = _free_port()
     env = _worker_env(local_devices=1)
+    # file-backed stdout: see mp_run for the PIPE deadlock rationale
+    log_files = [open(os.path.join(out, f"rank{k}.log"), "w+") for k in range(4)]
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER,
              "--process-id", str(k), "--num-processes", "4",
              "--port", str(port), "--out", out, "--data-root", out,
              "--skip-eval"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, stdout=log_files[k], stderr=subprocess.STDOUT, text=True,
         )
         for k in range(4)
     ]
     for k, p in enumerate(procs):
         try:
-            stdout, _ = p.communicate(timeout=900)
+            p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
+        finally:
+            log_files[k].flush()
+            log_files[k].seek(0)
+            stdout = log_files[k].read()
+            log_files[k].close()
         assert p.returncode == 0, f"rank {k} failed:\n{stdout[-4000:]}"
     records = []
     for k in range(4):

@@ -177,3 +177,31 @@ def test_metrics_callback_enrichment_is_durable(tmp_path):
     assert all(r.get("enriched_field") == 123.0 for r in step_recs), (
         "callback enrichment missing from the durable log"
     )
+
+
+def test_metrics_callback_raise_still_persists_record(tmp_path):
+    """A raising callback (the soak's NaN guard) must not lose the
+    record that triggered it — persistence runs before the exception
+    propagates, so the failing step's loss breakdown is on disk."""
+    import json
+    import os
+
+    train, evalset = _loaders()
+    args = TrainerArgs(
+        output_dir=str(tmp_path), num_train_epochs=1, warmup_steps=1,
+        logging_steps=1, bf16=False,
+    )
+
+    def guard(rec):
+        if "loss" in rec:
+            rec["guard_saw"] = True
+            raise AssertionError("synthetic NaN guard")
+
+    trainer = RadZeroTrainer(CFG, args, train, evalset, metrics_callback=guard)
+    with pytest.raises(AssertionError, match="synthetic NaN guard"):
+        trainer.train()
+    with open(os.path.join(str(tmp_path), "log_history.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    step_recs = [r for r in recs if "loss" in r]
+    assert len(step_recs) == 1           # the triggering record survived
+    assert step_recs[0]["guard_saw"] is True  # with the enrichment

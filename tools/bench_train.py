@@ -73,32 +73,36 @@ def main():
     s = b * spi
     state = {"trainable": trainable, "opt_state": opt_state}
 
-    # --dedup-slots=U: probe the sentence-dedup text layout
-    # (PackSpec.dedup_slots) — U unique rows + a row_gather map, e.g.
-    # U=256 models 2x sentence duplication across the batch's images
+    # --dedup-slots=U: ALSO measure the sentence-dedup text layout
+    # (PackSpec.dedup_slots) alongside the plain one — U unique rows +
+    # a row_gather map. U=256 models 2x sentence duplication across the
+    # batch's 512 sentence rows, U=128 4x (real MIMIC finding phrases
+    # repeat heavily; loss/grads are exactly the plain computation,
+    # tests/test_dedup.py). Reported under "dedup" / tower_cache keys,
+    # never replacing the plain numbers.
     dedup_slots = 0
     for a in sys.argv:
         if a.startswith("--dedup-slots="):
             dedup_slots = int(a.split("=")[1])
 
-    def text_block(l):
-        if dedup_slots:
+    def text_block(l, dedup=0):
+        if dedup:
             return {
                 "input_ids": jnp.asarray(
-                    rng.integers(3, 30000, (dedup_slots, l)), jnp.int32),
-                "attention_mask": jnp.ones((dedup_slots, l), jnp.int32),
+                    rng.integers(3, 30000, (dedup, l)), jnp.int32),
+                "attention_mask": jnp.ones((dedup, l), jnp.int32),
                 "row_gather": jnp.asarray(
-                    rng.integers(0, dedup_slots, (s,)), jnp.int32),
+                    rng.integers(0, dedup, (s,)), jnp.int32),
             }
         return {
             "input_ids": jnp.asarray(rng.integers(3, 30000, (s, l)), jnp.int32),
             "attention_mask": jnp.ones((s, l), jnp.int32),
         }
 
-    def run(l):
+    def run(l, dedup=0):
         batch = {
             "pixel_values": jnp.asarray(rng.standard_normal((b, 518, 518, 3)), jnp.float32),
-            **text_block(l),
+            **text_block(l, dedup),
             "group_map": jnp.asarray(np.repeat(np.arange(b), spi), jnp.int32),
             "row_mask": jnp.ones((s,), jnp.float32),
         }
@@ -142,6 +146,14 @@ def main():
         "vs_a100_bf16_estimate": None if cached_only else round(b / dt32 / a100_bf16_estimate, 2),
         "vs_a100_bf16_peak_bound": None if cached_only else round(b / dt32 / a100_bf16_bound, 2),
     }
+    if dedup_slots and not cached_only:
+        dt32d = run(32, dedup_slots)
+        out["dedup"] = {
+            "slots": dedup_slots,
+            "duplication_modeled": round(s / dedup_slots, 1),
+            "L32_samples_per_sec": round(b / dt32d, 1),
+            "vs_a100_bf16_estimate": round(b / dt32d / a100_bf16_estimate, 2),
+        }
 
     if "--tower-cache" in sys.argv:
         # Frozen-tower activation-cache A/B (train/tower_cache.py):
@@ -167,10 +179,10 @@ def main():
         tokens = tower_fn(frozen["vision_model"], pixels)
         tokens.block_until_ready()
 
-        def run_cached(l):
+        def run_cached(l, dedup=0):
             batch = {
                 "tower_tokens": tokens,
-                **text_block(l),
+                **text_block(l, dedup),
                 "group_map": jnp.asarray(np.repeat(np.arange(b), spi), jnp.int32),
                 "row_mask": jnp.ones((s,), jnp.float32),
             }
@@ -198,6 +210,10 @@ def main():
             "tower_forward_ms": round(dt_tower * 1e3, 1),
             "token_bytes_per_batch": int(np.prod(tokens.shape)) * tokens.dtype.itemsize,
         }
+        if dedup_slots:
+            dtc32d = run_cached(32, dedup_slots)
+            out["tower_cache"]["cached_dedup_L32_samples_per_sec"] = round(b / dtc32d, 1)
+            out["tower_cache"]["dedup_slots"] = dedup_slots
 
     print(json.dumps(out))
 

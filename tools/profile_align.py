@@ -54,6 +54,18 @@ def _timeit(fn, *args, iters=5):
     return dt
 
 
+def _gsum(tree):
+    """Reduce EVERY leaf of a grad tree to one scalar. Timing
+    ``leaves(grad)[0].sum()`` lets XLA dead-code-eliminate the other
+    leaves' weight-gradient GEMMs (only the dgrad chain feeding leaf 0
+    survives), so fwd+bwd variants undercount backward work by the
+    pruned wgrads; summing all leaves keeps them live."""
+    import jax
+    import jax.numpy as jnp
+
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(tree))
+
+
 def main():
     import dataclasses
 
@@ -94,7 +106,7 @@ def main():
         def fwd(p):
             return loss_of(apply(p, c, tokens, remat=remat, real_len=real))
 
-        g = jax.jit(lambda p: jax.tree.leaves(jax.grad(fwd)(p))[0].sum())
+        g = jax.jit(lambda p: _gsum(jax.grad(fwd)(p)))
         return _timeit(g, params)
 
     segments["full"] = seg_grad(cfg)
@@ -135,7 +147,7 @@ def main():
         x, _ = jax.lax.scan(scan_body, tokens, p["layers"])
         return loss_of(x)
 
-    g = jax.jit(lambda p: jax.tree.leaves(jax.grad(attn_identity)(p))[0].sum())
+    g = jax.jit(lambda p: _gsum(jax.grad(attn_identity)(p)))
     segments["attn_identity"] = _timeit(g, params)
 
     # --- MXU ceiling: the segment's GEMM shapes as flat dots -----------------

@@ -51,6 +51,18 @@ def _timeit(fn, *args, iters=10):
     return dt
 
 
+def _gsum(tree):
+    """Reduce EVERY leaf of a grad tree to one scalar. Timing
+    ``leaves(grad)[0].sum()`` lets XLA dead-code-eliminate the other
+    leaves' weight-gradient GEMMs (only the dgrad chain feeding leaf 0
+    survives), so fwd+bwd variants undercount backward work by the
+    pruned wgrads; summing all leaves keeps them live."""
+    import jax
+    import jax.numpy as jnp
+
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(tree))
+
+
 def main():
     import dataclasses
 
@@ -91,7 +103,7 @@ def main():
 
     def seg_grad(fwd):
         """fwd(params) -> scalar; time jitted grad wrt params."""
-        g = jax.jit(lambda p: jax.tree.leaves(jax.grad(fwd)(p))[0].sum())
+        g = jax.jit(lambda p: _gsum(jax.grad(fwd)(p)))
         return _timeit(g, params)
 
     def loss_of(h):
@@ -120,7 +132,7 @@ def main():
              "layers": sp["layers"], "rel_bias": sp["rel_bias"]}
         return full(p)
 
-    g = jax.jit(lambda sp: jax.tree.leaves(jax.grad(frozen_embed_fwd)(sp))[0].sum())
+    g = jax.jit(lambda sp: _gsum(jax.grad(frozen_embed_fwd)(sp)))
     segments["frozen_embed"] = _timeit(g, sub)
 
     # --- GEMM path only: attention replaced by V pass-through ---------------

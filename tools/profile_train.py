@@ -42,6 +42,18 @@ def _timeit(fn, *args, iters=5):
     return dt
 
 
+def _gsum(tree):
+    """Reduce EVERY leaf of a grad tree to one scalar. Timing
+    ``leaves(grad)[0].sum()`` lets XLA dead-code-eliminate the other
+    leaves' weight-gradient GEMMs (only the dgrad chain feeding leaf 0
+    survives), so fwd+bwd variants undercount backward work by the
+    pruned wgrads; summing all leaves keeps them live."""
+    import jax
+    import jax.numpy as jnp
+
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(tree))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -109,7 +121,7 @@ def main():
                           dtype=jnp.bfloat16, remat=True)
         return jnp.sum(h.astype(jnp.float32) ** 2)
 
-    text_g = jax.jit(lambda tp: jax.tree.leaves(jax.grad(text_loss)(tp))[0].sum())
+    text_g = jax.jit(lambda tp: _gsum(jax.grad(text_loss)(tp)))
     segments["text_fwd_bwd"] = _timeit(text_g, trainable["text_model"])
 
     # align adapter fwd+bwd at tower-token shapes (padded 1408 x 768)
@@ -122,7 +134,7 @@ def main():
         out = align_apply(ap, cfg.align, tokens, remat=True, real_len=1370)
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    align_g = jax.jit(lambda ap: jax.tree.leaves(jax.grad(align_loss)(ap))[0].sum())
+    align_g = jax.jit(lambda ap: _gsum(jax.grad(align_loss)(ap)))
     segments["align_fwd_bwd"] = _timeit(align_g, trainable["align_transformer"])
 
     # fused VL-CABS + MP-NCE fwd+bwd at loss shapes
@@ -138,7 +150,7 @@ def main():
         return out["losses"]["loss"]
 
     vl_g = jax.jit(
-        lambda lp, f, vt: jax.tree.leaves(jax.grad(vl_loss)(lp, f, vt))[0].sum()
+        lambda lp, f, vt: _gsum(jax.grad(vl_loss)(lp, f, vt))
     )
     segments["loss_fwd_bwd"] = _timeit(
         vl_g, trainable["loss_fns"]["RadZeroLoss"], feats, vtok
@@ -146,7 +158,7 @@ def main():
 
     # optimizer update alone (grads := params as a stand-in tree)
     opt = jax.jit(
-        lambda g, o, t: jax.tree.leaves(tx.update(g, o, t)[0])[0].sum()
+        lambda g, o, t: _gsum(tx.update(g, o, t)[0])
     )
     segments["optimizer"] = _timeit(opt, trainable, opt_state, trainable)
 
