@@ -379,11 +379,63 @@ def bench_train_extra(timeout_s: float = 1500.0):
         return {"unavailable": f"{type(e).__name__}: {e}"[:160]}
 
 
+class _StallProdder:
+    """Watchdog for the shared axon device tunnel: it occasionally
+    wedges MID-RUN (a blocked claim/compile RPC; observed repeatedly on
+    this host — the stuck client accumulates ~zero CPU indefinitely),
+    and empirically a NEW client's connection attempt unwedges it, even
+    if that probe itself then blocks behind the revived claim. A daemon
+    thread watches a progress heartbeat; when it goes stale it fires a
+    tiny bounded jax probe subprocess. Harmless when healthy (the probe
+    runs one 128x128 matmul), decisive when wedged — without it, a
+    wedge during the driver's unattended bench run would suppress the
+    whole headline."""
+
+    def __init__(self, stale_s: float = 300.0):
+        import threading
+        import time as _t
+
+        self._last = _t.monotonic()
+        self._stop = threading.Event()
+        self._stale = stale_s
+
+        def watch():
+            import subprocess
+            import sys
+
+            while not self._stop.wait(30.0):
+                if _t.monotonic() - self._last > self._stale:
+                    self.beat()  # one probe per stale period
+                    try:
+                        subprocess.run(
+                            [sys.executable, "-c",
+                             "import jax, jax.numpy as jnp;"
+                             "x = jnp.ones((128, 128));"
+                             "print(float((x @ x).sum()))"],
+                            timeout=240, capture_output=True, check=False,
+                        )
+                    except Exception:
+                        pass  # a blocked probe is expected post-unwedge
+
+        self._thread = threading.Thread(target=watch, daemon=True)
+        self._thread.start()
+
+    def beat(self):
+        import time as _t
+
+        self._last = _t.monotonic()
+
+    def stop(self):
+        self._stop.set()
+
+
 def main():
     import os
 
     import jax
     import jax.numpy as jnp
+
+    prodder = _StallProdder()
 
     # persistent compilation cache: the Pallas path compiles slowly through
     # the remote-compile tunnel; cache hits make reruns start in seconds
@@ -417,7 +469,9 @@ def main():
         parity = {"unavailable": f"{type(e).__name__}: {e}"[:200]}
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
 
+    prodder.beat()
     device_ips, device_spread = bench_device_path(params, cfg, jnp, jax)
+    prodder.beat()
     # watchdog: the shared device tunnel occasionally stalls; a hung e2e
     # pass must not suppress the headline line
     import concurrent.futures as cf
@@ -432,7 +486,9 @@ def main():
         e2e = None
     pool.shutdown(wait=False)  # a hung e2e must not block the headline
 
+    prodder.beat()
     train = bench_train_extra()
+    prodder.stop()
 
     extra = {
         "a100_fp32_baseline_imgs_per_sec": A100_REFERENCE_IMGS_PER_SEC,
