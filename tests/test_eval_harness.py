@@ -6,14 +6,12 @@ Inference facade with a small random model, asserting every task
 produces finite metrics and result.json files.
 """
 
-import json
 import os
 
 import jax
 import numpy as np
 import pandas as pd
 import pytest
-from PIL import Image
 
 from radzero_tpu.data.processing import BlipStyleImageProcessor
 from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
@@ -42,90 +40,15 @@ CFG = RadZeroConfig(
     loss=LossConfig(hidden_dim=D),
 )
 
-CHEXPERT5 = ["Atelectasis", "Cardiomegaly", "Consolidation", "Edema", "Pleural Effusion"]
-XDET10_PROMPTS = [
-    "Atelectasis", "Tissue Calcification", "Pulmonary Consolidation",
-    "Pleural Effusion", "Pulmonary Emphysema", "Fibrosis", "Bone Fracture",
-    "Pulmonary Mass", "Lung Nodule", "Pneumothorax",
-]
-XDET10_CLASSES = [
-    "Atelectasis", "Calcification", "Consolidation", "Effusion", "Emphysema",
-    "Fibrosis", "Fracture", "Mass", "Nodule", "Pneumothorax",
-]
-
-
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp("evaldata")
-    rng = np.random.default_rng(0)
-    n = 8
+    from tools import synthetic_eval_data as sd
 
-    # images
-    (root / "imgs").mkdir()
-    for i in range(n):
-        arr = rng.integers(0, 256, (70 + i, 60, 3), dtype=np.uint8)
-        Image.fromarray(arr).save(root / "imgs" / f"{i}.png")
-
-    # ---- Chexpert classification
-    (root / "Chexpert").mkdir()
-    pd.DataFrame({"Path": [f"imgs/{i}.png" for i in range(n)]}).to_csv(
-        root / "Chexpert" / "chexpert5_test_image.csv", index=False
-    )
-    with open(root / "Chexpert" / "chexpert5_test_text.json", "w") as f:
-        json.dump({str(i): [f"There is {c}"] for i, c in enumerate(CHEXPERT5)}, f)
-    labels = rng.integers(0, 2, (n, 5))
-    labels[0] = 1  # ensure both classes present everywhere
-    labels[1] = 0
-    pd.DataFrame(labels, columns=CHEXPERT5).to_csv(
-        root / "Chexpert" / "test_labels.csv", index=False
-    )
-
-    # ---- ChestXDet10 grounding + classification labels
-    (root / "ChestXDet10").mkdir()
-    pd.DataFrame({"Path": [f"imgs/{i}.png" for i in range(n)]}).to_csv(
-        root / "ChestXDet10" / "chestXDet10_test_image.csv", index=False
-    )
-    with open(root / "ChestXDet10" / "chestXDet10_test_text.json", "w") as f:
-        json.dump({str(i): [f"There is {p}"] for i, p in enumerate(XDET10_PROMPTS)}, f)
-    test_rows = []
-    for i in range(n):
-        syms = [XDET10_CLASSES[i % 10]]
-        boxes = [[5, 5, 40, 40]]
-        test_rows.append({"file_name": f"imgs/{i}.png", "syms": syms, "boxes": boxes})
-    with open(root / "ChestXDet10" / "test.json", "w") as f:
-        json.dump(test_rows, f)
-
-    # ---- MS-CXR
-    (root / "MS-CXR").mkdir()
-    mscxr = [
-        {
-            "image": f"imgs/{i}.png",
-            "det": [{"name": f"left lung opacity {i}", "label": [[0, 0, 59, 69]]}],
-        }
-        for i in range(4)
-    ]
-    with open(root / "MS-CXR" / "test.json", "w") as f:
-        json.dump(mscxr, f)
-
-    # ---- SIIM (png instead of dcm; suffix-dispatched loader)
-    (root / "SIIM").mkdir()
-    rows = []
-    for i in range(n):
-        rle = "10 6" if i % 2 == 0 else " -1"
-        rows.append(
-            {"ImageId": f"id{i}", "dicom_path": f"imgs/{i}.png", " EncodedPixels": rle}
-        )
-    pd.DataFrame(rows).to_csv(root / "SIIM" / "test.csv", index=False)
-
-    # ---- RSNA
-    (root / "RSNA").mkdir()
-    rows = []
-    for i in range(n):
-        boxes = "5;5;20;20" if i % 2 == 0 else np.nan
-        rows.append({"img_path": f"imgs/{i}.png", "boxes": boxes})
-    pd.DataFrame(rows).to_csv(root / "RSNA" / "test.csv", index=False)
-
-    return str(root)
+    root = str(tmp_path_factory.mktemp("evaldata"))
+    sd.build_eval_root(root, n=8)  # imgs + Chexpert + ChestXDet10 + MS-CXR
+    sd.build_siim(root, n=8)  # png instead of dcm; suffix-dispatched loader
+    sd.build_rsna(root, n=8)
+    return root
 
 
 @pytest.fixture(scope="module")

@@ -23,19 +23,11 @@ import subprocess
 import sys
 
 import numpy as np
-import pandas as pd
 import pytest
 import torch
-from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-from radzero_tpu.eval.mergers import (  # noqa: E402
-    CHESTXRAY14_CLASSES,
-    CHEXPERT5_CLASSES,
-    OPENI_PATHOLOGIES,
-)
 
 D = 32
 VOCAB = [
@@ -125,134 +117,22 @@ def _build_snapshot(snap: str) -> None:
 N_IMGS = 24
 
 
-def _prompt_json(path, names):
-    with open(path, "w") as f:
-        json.dump({str(i): [f"There is {n}"] for i, n in enumerate(names)}, f)
-
-
-def _image_csv(path, n):
-    pd.DataFrame({"Path": [f"imgs/{i}.png" for i in range(n)]}).to_csv(
-        path, index=False
-    )
-
-
 def _build_data_root(root: str) -> None:
-    rng = np.random.default_rng(0)
-    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
-    for i in range(N_IMGS):
-        arr = rng.integers(0, 256, (70 + i, 60, 3), dtype=np.uint8)
-        Image.fromarray(arr).save(os.path.join(root, "imgs", f"{i}.png"))
+    """Full registry via the canonical builders
+    (tools/synthetic_eval_data.py): 24 images so the OpenI/PadChest
+    long-tail head/medium/tail buckets are all non-empty; ChestXDet10
+    with two boxes per image."""
+    from tools import synthetic_eval_data as sd
 
-    # ---- OpenI: 18 scored pathologies via substring match on
-    # labels_automatic (mergers.py:74-88). Frequencies engineered per
-    # class index: 0-5 -> 20 (head), 6-11 -> 13 (medium), 12-17 -> 6
-    # (tail); substring collisions (Granuloma in "calcified granuloma")
-    # only add positives, never produce a degenerate all-pos column.
-    d = os.path.join(root, "OpenI")
-    os.makedirs(d, exist_ok=True)
-    _image_csv(os.path.join(d, "openi_multi_label_image.csv"), N_IMGS)
-    _prompt_json(os.path.join(d, "openi_multi_label_text.json"),
-                 OPENI_PATHOLOGIES[:-1])
-    freqs = [20] * 6 + [13] * 6 + [6] * 6
-    rows = []
-    for i in range(N_IMGS):
-        labs = [
-            p.lower()
-            for j, p in enumerate(OPENI_PATHOLOGIES[:-1])
-            if (i + j) % N_IMGS < freqs[j]
-        ]
-        rows.append(";".join(labs) if labs else "normal")
-    pd.DataFrame({"labels_automatic": rows}).to_csv(
-        os.path.join(d, "custom.csv"), index=False
-    )
-
-    # ---- PadChest: sorted unique label space minus 'normal'
-    # (mergers.py:91-121); prompts must follow that sorted order.
-    d = os.path.join(root, "PadChest")
-    os.makedirs(d, exist_ok=True)
-    _image_csv(os.path.join(d, "padchest_multi_label_image.csv"), N_IMGS)
-    pc_classes = [f"c{k:02d}" for k in range(12)]  # sorted by construction
-    pc_freqs = [20] * 4 + [13] * 4 + [6] * 4
-    manual = {}
-    for i in range(N_IMGS):
-        labs = [c for j, c in enumerate(pc_classes) if (i + j) % N_IMGS < pc_freqs[j]]
-        manual[f"imgs/{i}.png"] = labs if labs else ["normal"]
-    # 'normal' must exist in the label space (the merger indexes it)
-    manual["imgs/0.png"] = manual["imgs/0.png"] + ["normal"]
-    with open(os.path.join(d, "manual_image.json"), "w") as f:
-        json.dump(manual, f)
-    _prompt_json(os.path.join(d, "padchest_multi_label_text.json"), pc_classes)
-
-    # ---- ChestXray14: space-separated test list (mergers.py:124-131)
-    d = os.path.join(root, "ChestXray14")
-    os.makedirs(d, exist_ok=True)
-    _image_csv(os.path.join(d, "chestxray14_test_image.csv"), 8)
-    _prompt_json(os.path.join(d, "chestxray14_test_text.json"), CHESTXRAY14_CLASSES)
-    with open(os.path.join(d, "test_list.txt"), "w") as f:
-        for i in range(8):
-            labels = [(i + j) % 2 for j in range(len(CHESTXRAY14_CLASSES))]
-            f.write(f"imgs/{i}.png " + " ".join(map(str, labels)) + "\n")
-
-    # ---- Chexpert
-    d = os.path.join(root, "Chexpert")
-    os.makedirs(d, exist_ok=True)
-    _image_csv(os.path.join(d, "chexpert5_test_image.csv"), 8)
-    _prompt_json(os.path.join(d, "chexpert5_test_text.json"), CHEXPERT5_CLASSES)
-    labels = np.random.default_rng(1).integers(0, 2, (8, 5))
-    labels[0] = 1
-    labels[1] = 0
-    pd.DataFrame(labels, columns=CHEXPERT5_CLASSES).to_csv(
-        os.path.join(d, "test_labels.csv"), index=False
-    )
-
-    # ---- ChestXDet10 (classification AND grounding)
-    xdet_prompts = ["Atelectasis", "Tissue Calcification", "Pulmonary Consolidation",
-                    "Pleural Effusion", "Pulmonary Emphysema", "Fibrosis",
-                    "Bone Fracture", "Pulmonary Mass", "Lung Nodule", "Pneumothorax"]
-    xdet_classes = ["Atelectasis", "Calcification", "Consolidation", "Effusion",
-                    "Emphysema", "Fibrosis", "Fracture", "Mass", "Nodule",
-                    "Pneumothorax"]
-    d = os.path.join(root, "ChestXDet10")
-    os.makedirs(d, exist_ok=True)
-    _image_csv(os.path.join(d, "chestXDet10_test_image.csv"), 8)
-    _prompt_json(os.path.join(d, "chestXDet10_test_text.json"), xdet_prompts)
-    rows = [
-        {"file_name": f"imgs/{i}.png",
-         "syms": [xdet_classes[i % 10], xdet_classes[(i + 3) % 10]],
-         "boxes": [[5, 5, 40, 40], [10, 10, 30, 30]]}
-        for i in range(8)
-    ]
-    with open(os.path.join(d, "test.json"), "w") as f:
-        json.dump(rows, f)
-
-    # ---- MS-CXR
-    d = os.path.join(root, "MS-CXR")
-    os.makedirs(d, exist_ok=True)
-    mscxr = [
-        {"image": f"imgs/{i}.png",
-         "det": [{"name": f"left lung opacity {i}", "label": [[0, 0, 59, 69]]}]}
-        for i in range(4)
-    ]
-    with open(os.path.join(d, "test.json"), "w") as f:
-        json.dump(mscxr, f)
-
-    # ---- SIIM / RSNA
-    d = os.path.join(root, "SIIM")
-    os.makedirs(d, exist_ok=True)
-    rows = [
-        {"ImageId": f"id{i}", "dicom_path": f"imgs/{i}.png",
-         " EncodedPixels": "10 6" if i % 2 == 0 else " -1"}
-        for i in range(8)
-    ]
-    pd.DataFrame(rows).to_csv(os.path.join(d, "test.csv"), index=False)
-    d = os.path.join(root, "RSNA")
-    os.makedirs(d, exist_ok=True)
-    rows = [
-        {"img_path": f"imgs/{i}.png",
-         "boxes": "5;5;20;20" if i % 2 == 0 else np.nan}
-        for i in range(8)
-    ]
-    pd.DataFrame(rows).to_csv(os.path.join(d, "test.csv"), index=False)
+    sd.build_images(root, n=N_IMGS)
+    sd.build_openi(root, n=N_IMGS)
+    sd.build_padchest(root, n=N_IMGS)
+    sd.build_chestxray14(root, n=8)
+    sd.build_chexpert(root, n=8)
+    sd.build_chestxdet10(root, n=8, boxes_per_image=2)
+    sd.build_mscxr(root, n=4)
+    sd.build_siim(root, n=8)
+    sd.build_rsna(root, n=8)
 
 
 def test_select_datasets_present_absent(tmp_path):

@@ -148,64 +148,11 @@ DET_DATASETS = ["ChestXDet10", "MS-CXR"]
 
 
 def build_eval_root(root: str, n: int = 8) -> str:
-    """Miniature on-disk Chexpert/ChestXDet10/MS-CXR datasets (PNG), the
-    same layout tests/test_eval_harness.py builds."""
-    import pandas as pd
-    from PIL import Image
+    """Miniature on-disk Chexpert/ChestXDet10/MS-CXR datasets (PNG);
+    canonical builders in tools/synthetic_eval_data.py."""
+    from tools.synthetic_eval_data import build_eval_root as _build
 
-    rng = np.random.default_rng(0)
-    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
-    for i in range(n):
-        arr = rng.integers(0, 256, (70 + i, 60, 3), dtype=np.uint8)
-        Image.fromarray(arr).save(os.path.join(root, "imgs", f"{i}.png"))
-
-    chexpert5 = ["Atelectasis", "Cardiomegaly", "Consolidation", "Edema",
-                 "Pleural Effusion"]
-    d = os.path.join(root, "Chexpert")
-    os.makedirs(d, exist_ok=True)
-    pd.DataFrame({"Path": [f"imgs/{i}.png" for i in range(n)]}).to_csv(
-        os.path.join(d, "chexpert5_test_image.csv"), index=False
-    )
-    with open(os.path.join(d, "chexpert5_test_text.json"), "w") as f:
-        json.dump({str(i): [f"There is {c}"] for i, c in enumerate(chexpert5)}, f)
-    labels = rng.integers(0, 2, (n, 5))
-    labels[0] = 1
-    labels[1] = 0
-    pd.DataFrame(labels, columns=chexpert5).to_csv(
-        os.path.join(d, "test_labels.csv"), index=False
-    )
-
-    xdet_prompts = ["Atelectasis", "Tissue Calcification", "Pulmonary Consolidation",
-                    "Pleural Effusion", "Pulmonary Emphysema", "Fibrosis",
-                    "Bone Fracture", "Pulmonary Mass", "Lung Nodule", "Pneumothorax"]
-    xdet_classes = ["Atelectasis", "Calcification", "Consolidation", "Effusion",
-                    "Emphysema", "Fibrosis", "Fracture", "Mass", "Nodule",
-                    "Pneumothorax"]
-    d = os.path.join(root, "ChestXDet10")
-    os.makedirs(d, exist_ok=True)
-    pd.DataFrame({"Path": [f"imgs/{i}.png" for i in range(n)]}).to_csv(
-        os.path.join(d, "chestXDet10_test_image.csv"), index=False
-    )
-    with open(os.path.join(d, "chestXDet10_test_text.json"), "w") as f:
-        json.dump({str(i): [f"There is {p}"] for i, p in enumerate(xdet_prompts)}, f)
-    rows = [
-        {"file_name": f"imgs/{i}.png", "syms": [xdet_classes[i % 10]],
-         "boxes": [[5, 5, 40, 40]]}
-        for i in range(n)
-    ]
-    with open(os.path.join(d, "test.json"), "w") as f:
-        json.dump(rows, f)
-
-    d = os.path.join(root, "MS-CXR")
-    os.makedirs(d, exist_ok=True)
-    mscxr = [
-        {"image": f"imgs/{i}.png",
-         "det": [{"name": f"left lung opacity {i}", "label": [[0, 0, 59, 69]]}]}
-        for i in range(4)
-    ]
-    with open(os.path.join(d, "test.json"), "w") as f:
-        json.dump(mscxr, f)
-    return root
+    return _build(root, n=n)
 
 
 # ---------------------------------------------------------------------------

@@ -176,47 +176,15 @@ def read_log(out_dir: str):
     return recs
 
 
-def main():
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--steps", type=int, default=500)
-    ap.add_argument("--out", default="/tmp/radzero_soak")
-    ap.add_argument("--leg", choices=["control", "killed", "resumed"], default=None)
-    ap.add_argument("--kill-at", type=int, default=None)
-    ap.add_argument("--backing", choices=["ram", "device"], default="device",
-                    help="tower-cache store: 'device' keeps tokens in HBM "
-                         "(zero per-step token transfer); 'ram' exercises "
-                         "the host store + per-step upload path")
-    args = ap.parse_args()
-    kill_at = args.kill_at or args.steps // 2
+def assemble(out: str, kill_at: int) -> dict:
+    """Compare the control and resumed logs and write soak_result.json.
 
-    if args.leg:
-        run_leg(args.leg, args.steps, args.out, kill_at, backing=args.backing)
-        return
-
-    # parent protocol: three legs in child processes (the killed leg
-    # must be able to os._exit without taking the parent down)
-    ctrl_dir = os.path.join(args.out, "control")
-    kill_dir = os.path.join(args.out, "killed")
-    os.makedirs(ctrl_dir, exist_ok=True)
-    os.makedirs(kill_dir, exist_ok=True)
-
-    def spawn(leg, out_dir):
-        cmd = [sys.executable, os.path.abspath(__file__), "--leg", leg,
-               "--steps", str(args.steps), "--out", out_dir,
-               "--kill-at", str(kill_at), "--backing", args.backing]
-        t0 = time.perf_counter()
-        r = subprocess.run(cmd, cwd=REPO)
-        print(f"leg {leg}: rc={r.returncode} in {time.perf_counter() - t0:.0f}s",
-              flush=True)
-        return r.returncode
-
-    rc = spawn("control", ctrl_dir)
-    assert rc == 0, f"control leg failed rc={rc}"
-    rc = spawn("killed", kill_dir)
-    assert rc == 17, f"killed leg should hard-exit 17, got rc={rc}"
-    rc = spawn("resumed", kill_dir)
-    assert rc == 0, f"resumed leg failed rc={rc}"
-
+    Factored out of the parent protocol so an interrupted run (e.g. a
+    session death mid-leg) can re-run only the missing leg and then
+    assemble, instead of repeating completed legs.
+    """
+    ctrl_dir = os.path.join(out, "control")
+    kill_dir = os.path.join(out, "killed")
     control = read_log(ctrl_dir)
     resumed = read_log(kill_dir)
     shared = sorted(set(control) & set(resumed))
@@ -248,9 +216,60 @@ def main():
         "nan_guard": "green",
     }
     assert result["loss_last10_mean"] < result["loss_first10_mean"], result
-    with open(os.path.join(args.out, "soak_result.json"), "w") as f:
+    with open(os.path.join(out, "soak_result.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--out", default="/tmp/radzero_soak")
+    ap.add_argument("--leg", choices=["control", "killed", "resumed"], default=None)
+    ap.add_argument("--kill-at", type=int, default=None)
+    ap.add_argument("--assemble-only", action="store_true",
+                    help="skip the legs; compare existing control/killed "
+                         "logs under --out and write soak_result.json")
+    ap.add_argument("--backing", choices=["ram", "device"], default="device",
+                    help="tower-cache store: 'device' keeps tokens in HBM "
+                         "(zero per-step token transfer); 'ram' exercises "
+                         "the host store + per-step upload path")
+    args = ap.parse_args()
+    kill_at = args.kill_at or args.steps // 2
+
+    if args.assemble_only:
+        assemble(args.out, kill_at)
+        return
+    if args.leg:
+        run_leg(args.leg, args.steps, args.out, kill_at, backing=args.backing)
+        return
+
+    # parent protocol: three legs in child processes (the killed leg
+    # must be able to os._exit without taking the parent down)
+    ctrl_dir = os.path.join(args.out, "control")
+    kill_dir = os.path.join(args.out, "killed")
+    os.makedirs(ctrl_dir, exist_ok=True)
+    os.makedirs(kill_dir, exist_ok=True)
+
+    def spawn(leg, out_dir):
+        cmd = [sys.executable, os.path.abspath(__file__), "--leg", leg,
+               "--steps", str(args.steps), "--out", out_dir,
+               "--kill-at", str(kill_at), "--backing", args.backing]
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, cwd=REPO)
+        print(f"leg {leg}: rc={r.returncode} in {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        return r.returncode
+
+    rc = spawn("control", ctrl_dir)
+    assert rc == 0, f"control leg failed rc={rc}"
+    rc = spawn("killed", kill_dir)
+    assert rc == 17, f"killed leg should hard-exit 17, got rc={rc}"
+    rc = spawn("resumed", kill_dir)
+    assert rc == 0, f"resumed leg failed rc={rc}"
+
+    assemble(args.out, kill_at)
 
 
 if __name__ == "__main__":
