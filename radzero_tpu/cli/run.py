@@ -165,6 +165,11 @@ def main() -> None:
             cfg["train"]["per_device_train_batch_size"] * mesh.devices.size,
             spec, seed=cfg["train"].get("seed", 42),
             with_indices=tower_cache is not None,
+            # train.echo: data echoing for host-bound phases — each
+            # decoded batch yields `echo` optimizer steps (Choi et al.
+            # 2019; TrainLoader docstring). Counts toward the LR
+            # schedule and epoch length.
+            echo=int(cfg["train"].get("echo", 1)),
         )
         eval_loader = TrainLoader(
             datasets["eval"], loader, tokenizer,

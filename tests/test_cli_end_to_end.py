@@ -65,6 +65,9 @@ def workspace(tmp_path_factory):
             "weight_decay": 0.05, "max_grad_norm": 1.0, "warmup_steps": 1,
             "logging_steps": 1, "seed": 0, "bf16": False,
             "mesh": {"data": 1}, "max_sentences_per_image": 2, "max_text_tokens": 12,
+            # data echoing (train.echo -> TrainLoader(echo=...)): 16
+            # records / batch 8 = 2 decoded batches -> 4 optimizer steps
+            "echo": 2,
         },
         "experiment": {
             "project": "pt", "name": "smoke", "user": "debug",
@@ -148,3 +151,12 @@ def test_cli_train_and_eval(workspace):
     assert result.exists(), res.stdout[-2000:]
     perf = json.load(open(result))
     assert "Chexpert" in perf
+
+    # train.echo=2 doubled the optimizer steps: 2 decoded batches
+    # (16 records / batch 8, drop_last) x echo 2 = 4 step records
+    steps = [
+        json.loads(l)["step"]
+        for l in open(out_dir / "log_history.jsonl")
+        if "step" in json.loads(l)
+    ]
+    assert max(steps) == 4, steps
