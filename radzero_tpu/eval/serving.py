@@ -247,6 +247,19 @@ class ServingEngine:
         except queue.Empty:
             return []
         batch = [first]
+        # Greedy backlog drain: anything ALREADY queued joins the batch
+        # immediately — max_delay only bounds waiting for requests that
+        # have not arrived yet. Without this, max_delay=0 dispatches
+        # batch-1 against a deep backlog (one chip program per request).
+        while len(batch) < self.max_batch:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req.prompt_set != first.prompt_set:
+                self._queue.put(req)  # flush current set first
+                return batch
+            batch.append(req)
         deadline = self.max_delay
         import time
 

@@ -181,6 +181,43 @@ def test_serving_fast_scale_decode():
     np.testing.assert_allclose(probs[True], probs[False], atol=0.05)
 
 
+def test_collect_drains_backlog_at_zero_delay():
+    """max_delay bounds WAITING for unarrived requests, not draining the
+    existing backlog: at max_delay=0 a queued backlog must still come out
+    as full max_batch batches (regression: batch-1 dispatches collapsed
+    saturated throughput 24x in the round-4 bench sweep)."""
+    import concurrent.futures as cf
+    import queue as queue_mod
+
+    from radzero_tpu.eval.serving import _Request
+
+    eng = ServingEngine.__new__(ServingEngine)
+    eng._queue = queue_mod.Queue()
+    eng.max_batch = 4
+    eng.max_delay = 0.0
+
+    def req(pset="cls"):
+        return _Request(np.zeros((2, 2, 3), np.uint8), (2, 2), pset, "none", cf.Future())
+
+    for _ in range(10):
+        eng._queue.put(req())
+    sizes = []
+    while True:
+        batch = eng._collect()
+        if not batch:
+            break
+        sizes.append(len(batch))
+    assert sizes == [4, 4, 2]
+
+    # a prompt-set boundary still flushes the current set first
+    for p in ["a", "a", "b", "b", "b"]:
+        eng._queue.put(req(p))
+    first = eng._collect()
+    second = eng._collect()
+    assert [r.prompt_set for r in first] == ["a", "a"]
+    assert [r.prompt_set for r in second] == ["b", "b", "b"]
+
+
 def test_multihost_helpers_single_process():
     mesh = create_mesh({"data": 8})
     batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
