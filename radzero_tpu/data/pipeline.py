@@ -47,11 +47,20 @@ class PackSpec:
     # rows (padded to the static U) plus a ``row_gather`` (S,) map; the
     # text tower runs on U rows and features gather back to S — the
     # gather's VJP scatter-adds duplicate-row gradients, so the loss and
-    # its gradients are exactly the non-dedup computation. Batches with
-    # more than U unique rows fall back to the plain (S,) layout (one
-    # extra executable, like a length bucket). Single-process loaders
-    # only: ranks may disagree on the fallback, which would give the
-    # global-view step mismatched shapes across processes.
+    # its gradients are exactly the non-dedup computation.
+    #
+    # Batches with more than U unique rows are handled by
+    # ``dedup_overflow`` (a pack_batch argument, set by TrainLoader):
+    # - "fallback" (single-process default): emit the plain (S,) layout
+    #   for that batch — one extra executable, like a length bucket;
+    #   always exact.
+    # - "drop" (multi-process): ALWAYS emit the dedup layout; overflow
+    #   rows (sentences beyond the first U uniques in first-occurrence
+    #   order) are masked out of the loss (row_mask=0). Rank-consistent
+    #   by construction — one executable, no batch-content-dependent
+    #   shape divergence across processes — and exact whenever a shard's
+    #   unique count fits its slots (the calibrated operating point;
+    #   TrainLoader counts dropped sentences in ``dedup_dropped``).
     dedup_slots: int = 0
 
 
@@ -62,8 +71,21 @@ def pack_batch(
     spec: PackSpec,
     rng: Optional[np.random.Generator] = None,
     global_offset: int = 0,
+    text_offset: int = 0,
+    dedup_overflow: str = "fallback",
+    stats: Optional[dict] = None,
 ) -> Dict[str, np.ndarray]:
-    """Pack B records into the static flattened-batch layout."""
+    """Pack B records into the static flattened-batch layout.
+
+    ``text_offset``: added to ``row_gather`` so multi-process local
+    batches concatenate into a correct global batch — each rank's
+    gather indices point into ITS slice of the globally concatenated
+    unique text block (``process_index * dedup_slots``), mirroring the
+    ``global_offset`` rank offset on ``group_map``.
+    ``dedup_overflow``: see PackSpec.dedup_slots. ``stats``: mutable
+    dict; ``stats["dedup_dropped"]`` accumulates sentences masked out
+    by the "drop" policy.
+    """
     rng = rng or np.random.default_rng(0)
     B = len(records)
     S = B * spec.max_sentences_per_image
@@ -83,20 +105,38 @@ def pack_batch(
     ids, mask = tokenizer(texts, spec.max_text_tokens)
 
     row_gather = None
+    dropped = None
     if spec.dedup_slots:
-        uniq, inverse = np.unique(
-            np.concatenate([ids, mask], axis=1), axis=0, return_inverse=True
+        if dedup_overflow not in ("fallback", "drop"):
+            raise ValueError(f"unknown dedup_overflow policy {dedup_overflow!r}")
+        U = spec.dedup_slots
+        l_tok = ids.shape[1]
+        uniq, first_idx, inverse = np.unique(
+            np.concatenate([ids, mask], axis=1), axis=0,
+            return_index=True, return_inverse=True,
         )
-        if len(uniq) <= spec.dedup_slots:
-            l_tok = ids.shape[1]
-            pad = np.broadcast_to(
-                uniq[:1], (spec.dedup_slots - len(uniq), uniq.shape[1])
-            )
+        # reorder uniques by first occurrence: makes the "drop" policy's
+        # overflow rule (drop uniques seen latest) stable wrt row order
+        order = np.argsort(first_idx, kind="stable")
+        rank_of = np.empty(len(order), np.int64)
+        rank_of[order] = np.arange(len(order))
+        uniq = uniq[order]
+        inverse = rank_of[inverse]
+        if len(uniq) > U and dedup_overflow == "drop":
+            dropped = inverse >= U
+            if stats is not None:
+                stats["dedup_dropped"] = stats.get("dedup_dropped", 0) + int(
+                    np.count_nonzero(dropped[:n_real])
+                )
+            uniq = uniq[:U]
+            inverse = np.where(dropped, 0, inverse)
+        if len(uniq) <= U:
+            pad = np.broadcast_to(uniq[:1], (U - len(uniq), uniq.shape[1]))
             uniq = np.concatenate([uniq, pad], axis=0)
             ids = np.ascontiguousarray(uniq[:, :l_tok])
             mask = np.ascontiguousarray(uniq[:, l_tok:])
-            row_gather = inverse.astype(np.int32)
-        # else: fall back to the plain (S,) layout for this batch
+            row_gather = (inverse + text_offset).astype(np.int32)
+        # else ("fallback"): plain (S,) layout for this batch
 
     if spec.text_length_buckets:
         longest = int(mask.sum(axis=1).max()) if n_real else 1
@@ -109,6 +149,11 @@ def pack_batch(
     group_map[:n_real] = np.asarray(group, np.int32)
     row_mask = np.zeros((S,), np.float32)
     row_mask[:n_real] = 1.0
+    if dropped is not None and row_gather is not None:
+        # overflow rows leave the loss entirely (provably inert at
+        # row_mask=0, tests/test_vlcabs_and_mpnce.py)
+        row_mask[dropped] = 0.0
+        group_map[dropped] = 0
 
     batch = {
         "pixel_values": images.astype(np.float32),
@@ -213,17 +258,17 @@ class TrainLoader:
                 )
                 spec = dataclasses.replace(spec, text_length_buckets=())
                 self.spec = spec
-            # Dedup's unique-count fallback is batch-content-dependent the
-            # same way (one rank over dedup_slots, another under ->
-            # mismatched text shapes in the global step). No silent
-            # downgrade here: the caller opted in for a FLOP saving that
-            # cannot exist multi-host, so tell them.
-            if spec.dedup_slots:
-                raise ValueError(
-                    "dedup_slots requires process_count == 1: the unique-"
-                    "count fallback is batch-content-dependent and would "
-                    "desync text shapes across processes"
-                )
+            # Dedup's exact unique-count FALLBACK is batch-content-
+            # dependent the same way (one rank over dedup_slots, another
+            # under -> mismatched text shapes in the global step), so
+            # multi-process loaders use the rank-consistent "drop"
+            # policy instead: the dedup layout is emitted UNCONDITIONALLY
+            # (one executable, no shape divergence) and the rare rows
+            # beyond a shard's slots are masked out of the loss
+            # (counted in ``self.stats["dedup_dropped"]``). Exact
+            # whenever each shard's unique count fits its slots — size
+            # dedup_slots to the measured duplication rate (BASELINE.md
+            # dedup calibration).
             # drop_last=False can give processes unequal batch counts
             # (e.g. 9 records, 2 procs, bs 4 -> 2 vs 1 batches), desyncing
             # collectives at the epoch tail.
@@ -238,6 +283,8 @@ class TrainLoader:
         self.with_indices = with_indices
         self.stable_sharding = bool(stable_sharding)
         self.epoch = 0
+        self.dedup_overflow = "drop" if process_count > 1 else "fallback"
+        self.stats: Dict[str, int] = {"dedup_dropped": 0}
 
     def _global_usable(self) -> int:
         """Records usable per epoch across all processes (truncated so
@@ -291,18 +338,24 @@ class TrainLoader:
 
         offset = self.process_index * self.batch_size
 
+        text_offset = self.process_index * self.spec.dedup_slots
+
         def producer():
             with cf.ThreadPoolExecutor(self.num_threads) as pool:
                 for chunk, recs in self._batches(order):
                     imgs = np.stack(list(pool.map(self.image_loader, recs)))
                     packed = pack_batch(
                         recs, imgs, self.tokenizer, self.spec, rng,
-                        global_offset=offset,
+                        global_offset=offset, text_offset=text_offset,
+                        dedup_overflow=self.dedup_overflow, stats=self.stats,
                     )
                     if self.with_indices:
                         packed["record_indices"] = np.asarray(chunk, np.int64)
-                    for _ in range(self.echo):
-                        q.put(packed)
+                    for i in range(self.echo):
+                        # echoed repeats are shallow copies: a consumer
+                        # that mutates a batch in place (dict pops) must
+                        # not corrupt the next yield of the same batch
+                        q.put(packed if i == 0 else dict(packed))
             q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -71,7 +71,8 @@ def mp_run(tmp_path_factory):
         subprocess.Popen(
             [sys.executable, WORKER,
              "--process-id", str(k), "--num-processes", "2",
-             "--port", str(port), "--out", out, "--data-root", data_root],
+             "--port", str(port), "--out", out, "--data-root", data_root,
+             "--dedup-leg"],
             env=env, stdout=log_files[k], stderr=subprocess.STDOUT, text=True,
         )
         for k in range(2)
@@ -134,6 +135,47 @@ def test_global_step_loss_matches_single_process(mp_run):
         trainable, opt_state, ldict = step(trainable, frozen, opt_state, gbatch)
         control.append(float(ldict["loss"]))
     np.testing.assert_allclose(records[0]["losses"], control, rtol=2e-5)
+
+
+def test_dedup_global_steps_match_controls(mp_run):
+    """Sentence dedup under REAL process separation (VERDICT r4 #1):
+    the 2-process dedup-layout global steps must equal (a) a single-
+    process run over the concatenated rank-local dedup batches, and
+    (b) a single-process PLAIN-layout run over the same records —
+    i.e. dedup composes with the reference's primary multi-rank launch
+    mode with exact loss."""
+    import jax.numpy as jnp
+
+    wk, _, _, records, _ = mp_run
+    dd = records[0]["losses_dedup"]
+    assert dd is not None and len(dd) == wk.N_STEPS
+    np.testing.assert_allclose(dd, records[1]["losses_dedup"], rtol=1e-6)
+
+    from radzero_tpu.train.step import make_train_step
+
+    cfg = wk.tiny_config()
+
+    def control(dedup: bool):
+        its = [wk.batches(wk.make_dedup_loader(k, 2, dedup=dedup)) for k in range(2)]
+        trainable, frozen, tx, opt_state = wk.make_train_state(cfg)
+        step = make_train_step(cfg, tx, dtype=jnp.float32, donate=False)
+        out = []
+        for _ in range(wk.N_STEPS):
+            locals_ = [dict(next(it)) for it in its]
+            gbatch = {
+                k: np.concatenate([lb[k] for lb in locals_], axis=0)
+                for k in locals_[0]
+            }
+            if dedup:
+                # rank-offset row_gather means plain concatenation IS the
+                # correct global batch
+                assert gbatch["input_ids"].shape[0] == 2 * wk.DEDUP_SLOTS
+            trainable, opt_state, ldict = step(trainable, frozen, opt_state, gbatch)
+            out.append(float(ldict["loss"]))
+        return out
+
+    np.testing.assert_allclose(dd, control(dedup=True), rtol=2e-5)
+    np.testing.assert_allclose(dd, control(dedup=False), rtol=2e-5)
 
 
 def _assert_metrics_equal(a, b, rtol=1e-6):

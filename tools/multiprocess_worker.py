@@ -102,6 +102,41 @@ def make_loader(process_index: int, process_count: int):
     )
 
 
+DEDUP_SLOTS = 4
+_DEDUP_POOL = ["no pleural effusion", "clear lungs", "mild cardiomegaly"]
+
+
+def _dedup_records():
+    """Every record shares 'common finding' and draws one pool phrase —
+    real duplicates inside every rank-local batch, uniques <= 3 < 4
+    slots (the exact operating point; overflow-drop never triggers)."""
+    return [
+        {"id": i, "key_phrases": [_DEDUP_POOL[i % 3], "common finding"]}
+        for i in range(N_RECORDS)
+    ]
+
+
+def make_dedup_loader(process_index: int, process_count: int, dedup: bool = True):
+    """Sentence-dedup leg (VERDICT r4 #1): the SAME per-process shard
+    flow with PackSpec.dedup_slots — multi-process loaders emit the
+    rank-consistent dedup layout with rank-offset row_gather."""
+    from radzero_tpu.data.pipeline import PackSpec, TrainLoader
+    from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
+
+    def load_image(rec):
+        return np.full((28, 28, 3), rec["id"] / 10.0, np.float32)
+
+    return TrainLoader(
+        _dedup_records(), load_image,
+        WhitespaceHashTokenizer(vocab_size=VOCAB, max_length=MAX_LEN),
+        BATCH_PER_PROCESS,
+        PackSpec(max_sentences_per_image=2, max_text_tokens=MAX_LEN,
+                 dedup_slots=DEDUP_SLOTS if dedup else 0),
+        seed=11, num_threads=1,
+        process_index=process_index, process_count=process_count,
+    )
+
+
 def batches(loader):
     """Epoch-cycling batch stream: with k processes the per-rank shard
     may hold fewer than N_STEPS batches (8 records / k ranks / batch 2),
@@ -170,6 +205,9 @@ def main() -> None:
                     help="train + barrier only (the 4-process leg keeps "
                          "the 1-core host load bounded; the eval merge is "
                          "covered by the 2-process run)")
+    ap.add_argument("--dedup-leg", action="store_true",
+                    help="also run global train steps over the sentence-"
+                         "dedup loader (rank-consistent dedup layout)")
     args = ap.parse_args()
 
     import jax
@@ -218,6 +256,28 @@ def main() -> None:
         losses.append(float(ldict["loss"]))
     assert all(np.isfinite(v) for v in losses), losses
 
+    # 3b. sentence-dedup leg: same global-step flow over the dedup
+    #     layout (unique text block + rank-offset row_gather). A fresh
+    #     train state so the trajectory is comparable to the parent
+    #     test's single-process controls (plain == dedup exactness).
+    losses_dedup = None
+    if args.dedup_leg:
+        trainable_d, frozen_d, tx_d, opt_state_d = make_train_state(cfg)
+        step_d = make_train_step(cfg, tx_d, dtype=jnp.float32, donate=False)
+        loader_d = make_dedup_loader(pi, pc)
+        losses_dedup = []
+        it_d = batches(loader_d)
+        for _ in range(N_STEPS):
+            local = next(it_d)
+            assert "row_gather" in local  # dedup layout, unconditionally
+            gbatch = local_batch_to_global(dict(local), mesh)
+            trainable_d, opt_state_d, ldict = step_d(
+                trainable_d, frozen_d, opt_state_d, gbatch
+            )
+            losses_dedup.append(float(ldict["loss"]))
+        assert all(np.isfinite(v) for v in losses_dedup), losses_dedup
+        assert loader_d.stats["dedup_dropped"] == 0  # exact operating point
+
     # 4. cross-host barrier (dist.barrier analogue)
     sync("post-train")
 
@@ -243,6 +303,7 @@ def main() -> None:
         "global_devices": jax.device_count(),
         "local_devices": jax.local_device_count(),
         "losses": losses,
+        "losses_dedup": losses_dedup,
         "merged_cls": merged_cls,
         "merged_det": merged_det,
     }
