@@ -354,7 +354,7 @@ def bench_train_extra(timeout_s: float = 1500.0):
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(_ROOT, "tools", "bench_train.py"),
-             "--tower-cache", "--dedup-slots=256"],
+             "--tower-cache", "--dedup-slots=320"],
             capture_output=True, text=True, timeout=timeout_s,
         )
         line = proc.stdout.strip().splitlines()[-1]
@@ -367,66 +367,19 @@ def bench_train_extra(timeout_s: float = 1500.0):
             "cached_tower_samples_per_sec_L32": tc.get(
                 "cached_bucketed_L32_samples_per_sec"
             ),
-            "dedup256_samples_per_sec_L32": dd.get("L32_samples_per_sec"),
-            "cached_dedup256_samples_per_sec_L32": tc.get(
+            "dedup320_samples_per_sec_L32": dd.get("L32_samples_per_sec"),
+            "cached_dedup320_samples_per_sec_L32": tc.get(
                 "cached_dedup_L32_samples_per_sec"
             ),
             "vs_a100_bf16_estimate": out["vs_a100_bf16_estimate"],
             "vs_a100_bf16_peak_bound": out["vs_a100_bf16_peak_bound"],
-            "note": "flagship recipe batch 64 x 8 sentences, bf16+remat; 'cached' = frozen-tower activation cache steady state (epoch 2+); 'dedup256' = opt-in sentence dedup at 2x modeled duplication (exact loss/grads, tests/test_dedup.py); A100 anchors derived in BASELINE.md",
+            "note": "flagship recipe batch 64 x 8 sentences, bf16+remat; 'cached' = frozen-tower activation cache steady state (epoch 2+); 'dedup320' = opt-in sentence dedup at the grammar-calibrated slot count (DEDUP_CALIBRATION_r05.json: <1% overflow under every sensitivity-grid config; static text-row reduction 1.6x; exact loss/grads, tests/test_dedup.py); A100 anchors derived in BASELINE.md",
         }
     except Exception as e:
         return {"unavailable": f"{type(e).__name__}: {e}"[:160]}
 
 
-class _StallProdder:
-    """Watchdog for the shared axon device tunnel: it occasionally
-    wedges MID-RUN (a blocked claim/compile RPC; observed repeatedly on
-    this host — the stuck client accumulates ~zero CPU indefinitely),
-    and empirically a NEW client's connection attempt unwedges it, even
-    if that probe itself then blocks behind the revived claim. A daemon
-    thread watches a progress heartbeat; when it goes stale it fires a
-    tiny bounded jax probe subprocess. Harmless when healthy (the probe
-    runs one 128x128 matmul), decisive when wedged — without it, a
-    wedge during the driver's unattended bench run would suppress the
-    whole headline."""
-
-    def __init__(self, stale_s: float = 300.0):
-        import threading
-        import time as _t
-
-        self._last = _t.monotonic()
-        self._stop = threading.Event()
-        self._stale = stale_s
-
-        def watch():
-            import subprocess
-            import sys
-
-            while not self._stop.wait(30.0):
-                if _t.monotonic() - self._last > self._stale:
-                    self.beat()  # one probe per stale period
-                    try:
-                        subprocess.run(
-                            [sys.executable, "-c",
-                             "import jax, jax.numpy as jnp;"
-                             "x = jnp.ones((128, 128));"
-                             "print(float((x @ x).sum()))"],
-                            timeout=240, capture_output=True, check=False,
-                        )
-                    except Exception:
-                        pass  # a blocked probe is expected post-unwedge
-
-        self._thread = threading.Thread(target=watch, daemon=True)
-        self._thread.start()
-
-    def beat(self):
-        import time as _t
-
-        self._last = _t.monotonic()
-
-    def stop(self):
-        self._stop.set()
+from radzero_tpu.utils.stall_guard import StallProdder as _StallProdder
 
 
 def main():

@@ -425,6 +425,16 @@ class RadZeroTrainer:
                 "epoch": epoch + 1,
                 "train_samples_per_second": n_samples / max(dt, 1e-9),
             }
+            # With data echoing each decoded batch is consumed ``echo``
+            # times, so samples/s above is the DEVICE rate (inflated by
+            # the echo factor vs non-echo baselines). Also report the
+            # decoded-sample rate, which is what to compare against
+            # BASELINE.md's tables.
+            echo = getattr(self.train_loader, "echo", 1)
+            if echo > 1:
+                epoch_metrics["train_decoded_samples_per_second"] = (
+                    n_samples / echo / max(dt, 1e-9)
+                )
 
             eval_metrics = self.evaluate()
             epoch_metrics.update(eval_metrics)

@@ -205,3 +205,36 @@ def test_metrics_callback_raise_still_persists_record(tmp_path):
     step_recs = [r for r in recs if "loss" in r]
     assert len(step_recs) == 1           # the triggering record survived
     assert step_recs[0]["guard_saw"] is True  # with the enrichment
+
+
+def test_echo_reports_decoded_sample_rate(tmp_path):
+    """With data echoing, train_samples_per_second counts echoed repeats
+    (device rate); the trainer must also report the decoded-sample rate
+    so echo runs stay comparable to non-echo baselines (ADVICE r4)."""
+    rng = np.random.default_rng(0)
+    recs = []
+    images = {}
+    for i in range(8):
+        recs.append({"key_phrases": [f"finding alpha {i}"], "image": i})
+        images[i] = rng.standard_normal((28, 28, 3)).astype(np.float32)
+
+    tok = WhitespaceHashTokenizer(vocab_size=5003, max_length=10)
+    spec = PackSpec(max_sentences_per_image=1, max_text_tokens=10)
+    train = TrainLoader(recs, lambda r: images[r["image"]], tok, 8, spec,
+                        seed=0, num_threads=2, echo=3)
+    evalset = TrainLoader(recs, lambda r: images[r["image"]], tok, 8, spec,
+                          seed=0, shuffle=False, num_threads=2)
+    args = TrainerArgs(output_dir=str(tmp_path), num_train_epochs=1,
+                       warmup_steps=1, logging_steps=10, bf16=False)
+    trainer = RadZeroTrainer(CFG, args, train, evalset)
+    state = trainer.train()
+
+    epoch_recs = [r for r in state.log_history
+                  if "train_samples_per_second" in r]
+    assert len(epoch_recs) == 1
+    rec = epoch_recs[0]
+    assert "train_decoded_samples_per_second" in rec
+    # device rate counts each echoed repeat; decoded rate divides it out
+    assert rec["train_decoded_samples_per_second"] == pytest.approx(
+        rec["train_samples_per_second"] / 3
+    )

@@ -55,6 +55,10 @@ def _gsum(tree):
 
 
 def main():
+    from radzero_tpu.utils.stall_guard import StallProdder
+
+    # axon tunnel wedge watchdog (see utils/stall_guard.py)
+    prodder = StallProdder()  # noqa: F841 — daemon thread
     import jax
     import jax.numpy as jnp
     import numpy as np

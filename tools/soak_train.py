@@ -54,7 +54,8 @@ SENTS = 8
 IMG = 518
 
 
-def build_loader():
+def build_loader(n_records: int = N_RECORDS, first_id: int = 0,
+                 shuffle: bool = True, seed: int = 11):
     from radzero_tpu.data.pipeline import PackSpec, TrainLoader
     from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
 
@@ -86,19 +87,25 @@ def build_loader():
             out.append(" ".join(rng.choice(words, n)))
         return out
 
-    records = [{"id": i, "key_phrases": sentences(i)} for i in range(N_RECORDS)]
+    records = [{"id": i, "key_phrases": sentences(i)}
+               for i in range(first_id, first_id + n_records)]
     return TrainLoader(
         records, load_image,
         WhitespaceHashTokenizer(vocab_size=30522, max_length=64),
         BATCH,
         PackSpec(max_sentences_per_image=SENTS, max_text_tokens=64,
                  text_length_buckets=(16, 32)),
-        seed=11, num_threads=2, drop_last=True, with_indices=True,
+        seed=seed, num_threads=2, drop_last=True, with_indices=True,
+        shuffle=shuffle,
     )
 
 
 def run_leg(leg: str, steps: int, out_dir: str, kill_at: int,
             backing: str = "device") -> None:
+    from radzero_tpu.utils.stall_guard import StallProdder
+
+    # axon tunnel wedge watchdog (see utils/stall_guard.py)
+    prodder = StallProdder()  # noqa: F841 — daemon thread
     import jax
     import jax.numpy as jnp  # noqa: F401
 
@@ -166,6 +173,145 @@ def run_leg(leg: str, steps: int, out_dir: str, kill_at: int,
     print(f"soak[{leg}]: done ({trainer.state.step} steps)", flush=True)
 
 
+def run_selection(out_dir: str, epochs: int = 24, backing: str = "device") -> dict:
+    """Model-selection control-flow soak (VERDICT r4 missing #4).
+
+    The reference's entire model-selection story is per-epoch eval with
+    ``eval_loss`` best-checkpoint selection, early-stopping patience and
+    save_total_limit pruning (/root/reference/exp/cxr_pt/config.yaml:13-19,
+    run.py:109-121) — machinery our short unit tests exercise but no
+    sustained run ever had. This leg runs >= 20 epochs of the flagship
+    recipe over a SMALL train split (deliberately overfittable) with a
+    held-out synthetic eval split, everything active, then asserts
+    against the on-disk outcome:
+
+      - state.best_checkpoint is exactly the checkpoint whose logged
+        eval_loss is minimal over all epochs run;
+      - pruning kept exactly ``save_total_limit`` checkpoints, and the
+        best one survived pruning;
+      - load_best_model_at_end restored bit-identical params to the
+        best checkpoint's;
+      - the NaN/temperature guards stayed green throughout.
+    """
+    import jax
+    import numpy as np
+
+    from radzero_tpu.utils.stall_guard import StallProdder
+
+    prodder = StallProdder()  # noqa: F841 — tunnel wedge watchdog
+
+    cache = os.path.join(REPO, ".jax_cache")
+    if jax.default_backend() != "cpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+    from radzero_tpu.models.configuration import RadZeroConfig
+    from radzero_tpu.train.checkpoint import (
+        list_checkpoints,
+        load_trainer_state,
+        restore_checkpoint,
+    )
+    from radzero_tpu.train.tower_cache import TowerCache
+    from radzero_tpu.train.trainer import RadZeroTrainer, TrainerArgs
+
+    n_train, n_eval, limit, patience = 256, 128, 3, 5
+    train = build_loader(n_records=n_train)
+    # held-out split: disjoint record ids, fixed order
+    evalset = build_loader(n_records=n_eval, first_id=N_RECORDS + 1000,
+                           shuffle=False)
+    args = TrainerArgs(
+        output_dir=out_dir,
+        num_train_epochs=epochs,
+        learning_rate=3e-4,          # hot enough to overfit 256 records
+        warmup_steps=8,
+        logging_steps=1,
+        bf16=True,
+        gradient_checkpointing=True,
+        load_best_model_at_end=True,
+        metric_for_best_model="eval_loss",
+        early_stopping_patience=patience,
+        save_total_limit=limit,
+        seed=42,
+    )
+
+    def guard(rec):
+        if "loss" in rec:
+            assert np.isfinite(rec["loss"]), f"NaN loss: {rec}"
+        if "eval_loss" in rec:
+            assert np.isfinite(rec["eval_loss"]), f"NaN eval loss: {rec}"
+
+    cache_obj = (TowerCache(backing="device", n_records=n_train)
+                 if backing == "device" else TowerCache(backing=backing))
+    trainer = RadZeroTrainer(
+        RadZeroConfig(), args, train, evalset,
+        tower_cache=cache_obj, metrics_callback=guard,
+    )
+    t0 = time.perf_counter()
+    state = trainer.train()
+    wall = time.perf_counter() - t0
+
+    eval_recs = [r for r in state.log_history if "eval_loss" in r]
+    epochs_run = len(eval_recs)
+    assert epochs_run >= 20 or state.patience_left == 0, (
+        f"only {epochs_run} eval epochs and no early stop"
+    )
+
+    # 1) best checkpoint == argmin of the logged eval losses
+    best_logged = min(eval_recs, key=lambda r: r["eval_loss"])
+    assert state.best_metric == best_logged["eval_loss"], (
+        state.best_metric, best_logged)
+    assert state.best_checkpoint is not None
+    assert state.best_checkpoint.endswith(f"checkpoint-{best_logged['step']}"), (
+        state.best_checkpoint, best_logged)
+
+    # 2) pruning kept exactly the limit, best survived
+    kept = list_checkpoints(out_dir)
+    assert len(kept) == limit, f"pruning kept {len(kept)} != limit {limit}: {kept}"
+    assert os.path.abspath(state.best_checkpoint) in [
+        os.path.abspath(p) for p in kept
+    ], f"best checkpoint pruned: {state.best_checkpoint} not in {kept}"
+
+    # 2b) the best checkpoint's own persisted meta agrees with the log
+    best_meta = load_trainer_state(state.best_checkpoint)
+    assert best_meta["metrics"]["eval_loss"] == best_logged["eval_loss"]
+
+    # 3) load_best_model_at_end restored the best params bit-for-bit
+    restored = restore_checkpoint(
+        state.best_checkpoint,
+        {"trainable": trainer.trainable, "opt_state": trainer.opt_state},
+    )
+    flat_now = jax.tree_util.tree_leaves(trainer.trainable)
+    flat_best = jax.tree_util.tree_leaves(restored["trainable"])
+    for a, b in zip(flat_now, flat_best):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    result = {
+        "metric": "model_selection_soak",
+        "epochs_run": epochs_run,
+        "epochs_budget": epochs,
+        "steps": state.step,
+        "early_stopped": epochs_run < epochs,
+        "patience": patience,
+        "best_metric": state.best_metric,
+        "best_checkpoint": os.path.basename(state.best_checkpoint),
+        "best_epoch": int(best_logged["epoch"]),
+        "eval_loss_curve": [round(r["eval_loss"], 4) for r in eval_recs],
+        "save_total_limit": limit,
+        "checkpoints_kept": [os.path.basename(p) for p in kept],
+        "checkpoints_pruned": epochs_run - limit,
+        "best_params_restored_bit_identical": True,
+        "nan_guard": "green",
+        "wall_s": round(wall, 1),
+    }
+    with open(os.path.join(out_dir, "selection_result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    return result
+
+
 def read_log(out_dir: str):
     recs = {}
     with open(os.path.join(out_dir, "log_history.jsonl")) as f:
@@ -227,6 +373,15 @@ def main():
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--out", default="/tmp/radzero_soak")
     ap.add_argument("--leg", choices=["control", "killed", "resumed"], default=None)
+    ap.add_argument("--selection", action="store_true",
+                    help="run the model-selection leg instead of the "
+                         "kill/resume protocol: >= 20 epochs over a small "
+                         "overfittable split with per-epoch eval, eval_loss "
+                         "best-ckpt selection, early stopping and "
+                         "save_total_limit pruning all active, asserted "
+                         "against the on-disk outcome")
+    ap.add_argument("--epochs", type=int, default=24,
+                    help="epoch budget for --selection")
     ap.add_argument("--kill-at", type=int, default=None)
     ap.add_argument("--assemble-only", action="store_true",
                     help="skip the legs; compare existing control/killed "
@@ -238,6 +393,10 @@ def main():
     args = ap.parse_args()
     kill_at = args.kill_at or args.steps // 2
 
+    if args.selection:
+        run_selection(os.path.join(args.out, "selection"),
+                      epochs=args.epochs, backing=args.backing)
+        return
     if args.assemble_only:
         assemble(args.out, kill_at)
         return
