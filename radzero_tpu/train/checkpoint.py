@@ -61,11 +61,24 @@ def save_checkpoint(
     save_json(metadata, os.path.join(path, "trainer_state.json"))
 
     if save_total_limit:
+        # Reference (HF) semantics: the best checkpoint counts WITHIN
+        # the limit — ``limit`` total survive (best + the most recent
+        # ones), not ``limit`` recent PLUS the best. One documented HF
+        # corner kept: the just-saved checkpoint is never pruned, so
+        # ``save_total_limit=1`` with a distinct older best retains two
+        # (ref common/trainer.py:925-936).
         ckpts = list_checkpoints(output_dir)
-        keep = set(ckpts[-save_total_limit:])
-        if best_path:
-            keep.add(os.path.abspath(best_path))
-            keep.add(best_path)
+        by_abs = {os.path.abspath(p): p for p in ckpts}
+        keep = [path]
+        if best_path and os.path.abspath(best_path) in by_abs:
+            best = by_abs[os.path.abspath(best_path)]
+            if best not in keep:
+                keep.append(best)
+        for p in reversed(ckpts):  # newest first
+            if len(keep) >= save_total_limit:
+                break
+            if p not in keep:
+                keep.append(p)
         for p in ckpts:
             if p not in keep:
                 logger.info(f"pruning checkpoint {p}")

@@ -97,10 +97,15 @@ def main():
     # repeat heavily; loss/grads are exactly the plain computation,
     # tests/test_dedup.py). Reported under "dedup" / tower_cache keys,
     # never replacing the plain numbers.
-    dedup_slots = 0
+    # accepts a comma-separated list ("--dedup-slots=128,256,320") to
+    # sweep slot counts in ONE invocation — the plain/cached programs
+    # compile once and every slot value reuses them (only the dedup
+    # text-block programs differ per U)
+    dedup_sweep = []
     for a in sys.argv:
         if a.startswith("--dedup-slots="):
-            dedup_slots = int(a.split("=")[1])
+            dedup_sweep = [int(v) for v in a.split("=")[1].split(",") if v]
+    dedup_slots = dedup_sweep[0] if dedup_sweep else 0
 
     def text_block(l, dedup=0):
         if dedup:
@@ -173,6 +178,13 @@ def main():
             "L32_samples_per_sec": round(b / dt32d, 1),
             "vs_a100_bf16_estimate": round(b / dt32d / a100_bf16_estimate, 2),
         }
+        if len(dedup_sweep) > 1:
+            out["dedup_sweep"] = [
+                {"slots": u, "static_row_reduction": round(s / u, 2),
+                 "L32_samples_per_sec": round(b / (dt32d if u == dedup_slots
+                                                   else run(32, u)), 1)}
+                for u in dedup_sweep
+            ]
 
     if "--tower-cache" in sys.argv:
         # Frozen-tower activation-cache A/B (train/tower_cache.py):
@@ -233,6 +245,14 @@ def main():
             dtc32d = run_cached(32, dedup_slots)
             out["tower_cache"]["cached_dedup_L32_samples_per_sec"] = round(b / dtc32d, 1)
             out["tower_cache"]["dedup_slots"] = dedup_slots
+            if len(dedup_sweep) > 1:
+                out["tower_cache"]["cached_dedup_sweep"] = [
+                    {"slots": u,
+                     "L32_samples_per_sec": round(
+                         b / (dtc32d if u == dedup_slots
+                              else run_cached(32, u)), 1)}
+                    for u in dedup_sweep
+                ]
 
     print(json.dumps(out))
 

@@ -174,11 +174,16 @@ def main():
             x = jax.nn.gelu(x @ wf1) @ wf2
         return jnp.sum(x.astype(jnp.float32))
 
-    def gemm_n(x, passes):
-        return sum(gemm_pass(x + deltas[i]) for i in range(passes))
+    # deltas ride in as a jit ARGUMENT: closed over, the (4, n, d) array
+    # becomes a 553 MB program constant and the remote compile RPC
+    # rejects the payload (HTTP 413)
+    def gemm_n(x, dl, passes):
+        return sum(gemm_pass(x + dl[i]) for i in range(passes))
 
-    segments["gemm_ceiling_4x"] = _timeit(jax.jit(lambda x: gemm_n(x, 4)), x0)
-    segments["gemm_ceiling_3x"] = _timeit(jax.jit(lambda x: gemm_n(x, 3)), x0)
+    segments["gemm_ceiling_4x"] = _timeit(
+        jax.jit(lambda x, dl: gemm_n(x, dl, 4)), x0, deltas)
+    segments["gemm_ceiling_3x"] = _timeit(
+        jax.jit(lambda x, dl: gemm_n(x, dl, 3)), x0, deltas)
 
     out = {
         "metric": "align_segment_per_op_ms",
