@@ -55,7 +55,15 @@ IMG = 518
 
 
 def build_loader(n_records: int = N_RECORDS, first_id: int = 0,
-                 shuffle: bool = True, seed: int = 11):
+                 shuffle: bool = True, seed: int = 11,
+                 learnable: bool = False):
+    """``learnable=True``: images carry a quadrant-brightness signal
+    correlated with a keyword in their sentences (the sanity-harness
+    task) — train and a held-out eval split then share structure, so
+    eval loss genuinely improves over many epochs before overfitting
+    sets in. The stability legs keep the pure-noise data (learnability
+    is irrelevant to NaN/resume proofs); the model-selection leg needs
+    the learnable variant or eval loss bottoms out at epoch ~1."""
     from radzero_tpu.data.pipeline import PackSpec, TrainLoader
     from radzero_tpu.data.tokenizer import WhitespaceHashTokenizer
 
@@ -72,6 +80,11 @@ def build_loader(n_records: int = N_RECORDS, first_id: int = 0,
         if arr is None:
             rng = np.random.default_rng(rec["id"] + 1)
             arr = rng.standard_normal((IMG, IMG, 3)).astype(np.float32) * 0.5
+            if learnable:
+                q = rec["id"] % 4  # quadrant signal, keyed like sentences()
+                h = IMG // 2
+                r0, c0 = (q // 2) * h, (q % 2) * h
+                arr[r0:r0 + h, c0:c0 + h] += 1.0
             _img_memo[rec["id"]] = arr
         return arr
 
@@ -84,7 +97,12 @@ def build_loader(n_records: int = N_RECORDS, first_id: int = 0,
         out = []
         for _ in range(int(rng.integers(3, SENTS + 1))):
             n = int(rng.integers(4, 24))  # ~real MIMIC phrase lengths
-            out.append(" ".join(rng.choice(words, n)))
+            toks = list(rng.choice(words, n))
+            if learnable:
+                # every sentence names its image's quadrant — the
+                # cross-modal signal the contrastive loss can learn
+                toks[int(rng.integers(0, n))] = f"quadrant{i % 4}"
+            out.append(" ".join(toks))
         return out
 
     records = [{"id": i, "key_phrases": sentences(i)}
@@ -217,16 +235,18 @@ def run_selection(out_dir: str, epochs: int = 24, backing: str = "device") -> di
     from radzero_tpu.train.tower_cache import TowerCache
     from radzero_tpu.train.trainer import RadZeroTrainer, TrainerArgs
 
-    n_train, n_eval, limit, patience = 256, 128, 3, 5
-    train = build_loader(n_records=n_train)
-    # held-out split: disjoint record ids, fixed order
+    n_train, n_eval, limit, patience = 512, 128, 3, 6
+    train = build_loader(n_records=n_train, learnable=True)
+    # held-out split: disjoint record ids, fixed order, same learnable
+    # quadrant<->keyword structure so eval can genuinely improve
     evalset = build_loader(n_records=n_eval, first_id=N_RECORDS + 1000,
-                           shuffle=False)
+                           shuffle=False, learnable=True)
     args = TrainerArgs(
         output_dir=out_dir,
         num_train_epochs=epochs,
-        learning_rate=3e-4,          # hot enough to overfit 256 records
-        warmup_steps=8,
+        learning_rate=5e-5,          # gentle: improve for many epochs on
+                                     # the quadrant signal, then overfit
+        warmup_steps=16,
         logging_steps=1,
         bf16=True,
         gradient_checkpointing=True,
