@@ -119,8 +119,9 @@ def main() -> None:
         text_length_buckets=tuple(cfg["train"].get("text_length_buckets", ())),
         # opt-in sentence dedup (PackSpec.dedup_slots): encode only the
         # unique sentences per batch; calibrated budget in
-        # DEDUP_CALIBRATION.json (multi-process loaders use the
-        # rank-consistent drop-overflow layout, data/pipeline.py)
+        # DEDUP_CALIBRATION_r05.json / tools/dedup_calibration.py
+        # (multi-process loaders use the rank-consistent drop-overflow
+        # layout, data/pipeline.py)
         dedup_slots=int(cfg["train"].get("dedup_slots", 0)),
         # CLIP/SigLIP aux losses consume one random positive per image
         # (ref dataset.py:164-170 encoded_random_key_phrases)

@@ -354,8 +354,12 @@ class TrainLoader:
                     for i in range(self.echo):
                         # echoed repeats are shallow copies: a consumer
                         # that mutates a batch in place (dict pops) must
-                        # not corrupt the next yield of the same batch
-                        q.put(packed if i == 0 else dict(packed))
+                        # not corrupt the next yield of the same batch.
+                        # Copies go out FIRST and the original LAST — a
+                        # copy taken after an earlier yield was exposed
+                        # could snapshot a consumer's in-place mutation
+                        # (q.put releases the GIL)
+                        q.put(dict(packed) if i < self.echo - 1 else packed)
             q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -164,6 +164,12 @@ class ServingEngine:
             self._jitted = jax.jit(self._fn)
         self._prompt_sets: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # one-slot hold for a request whose prompt_set mismatched the
+        # batch being assembled: it becomes the NEXT batch's first.
+        # Re-enqueuing it at the queue TAIL instead would let sustained
+        # traffic of another prompt set starve it indefinitely (only
+        # _collect, a single thread, touches this slot).
+        self._held: Optional[_Request] = None
         self._pool = cf.ThreadPoolExecutor(preprocess_threads)
         self._stop = threading.Event()
         # three-stage pipeline: decode thread -> dispatch thread -> pool
@@ -242,10 +248,13 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def _collect(self) -> List[_Request]:
-        try:
-            first = self._queue.get(timeout=0.05)
-        except queue.Empty:
-            return []
+        if self._held is not None:
+            first, self._held = self._held, None
+        else:
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                return []
         batch = [first]
         # Greedy backlog drain: anything ALREADY queued joins the batch
         # immediately — max_delay only bounds waiting for requests that
@@ -257,7 +266,7 @@ class ServingEngine:
             except queue.Empty:
                 break
             if req.prompt_set != first.prompt_set:
-                self._queue.put(req)  # flush current set first
+                self._held = req  # becomes the next batch's first
                 return batch
             batch.append(req)
         deadline = self.max_delay
@@ -273,7 +282,7 @@ class ServingEngine:
             except queue.Empty:
                 break
             if req.prompt_set != first.prompt_set:
-                self._queue.put(req)  # flush current set first
+                self._held = req  # becomes the next batch's first
                 break
             batch.append(req)
         return batch
@@ -421,6 +430,12 @@ class ServingEngine:
         self._fail_queued()
 
     def _fail_queued(self) -> None:
+        # the held slot is only written by the (now joined) decode
+        # thread; close() drains it so a held request cannot leak an
+        # unresolved future
+        held, self._held = self._held, None
+        if held is not None and not held.future.done():
+            held.future.set_exception(RuntimeError("engine shutting down"))
         while True:
             try:
                 req = self._queue.get_nowait()

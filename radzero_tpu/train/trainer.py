@@ -440,30 +440,23 @@ class RadZeroTrainer:
             epoch_metrics.update(eval_metrics)
             self._log(epoch_metrics)
 
-            # checkpoint + best selection + early stopping
-            meta = {
-                "step": self.state.step,
-                "epoch": self.state.epoch,
-                "best_metric": self.state.best_metric,
-                "best_checkpoint": self.state.best_checkpoint,
-                "patience_left": self.state.patience_left,
-                "metrics": epoch_metrics,
-            }
-            path = save_checkpoint(
-                args.output_dir,
-                self.state.step,
-                self._ckpt_state(),
-                meta,
-                save_total_limit=args.save_total_limit,
-                best_path=self.state.best_checkpoint,
-            )
+            # best selection BEFORE the save: pruning must see the
+            # up-to-date best (the to-be-saved path is deterministic),
+            # or an improving epoch protects the obsolete old best and
+            # deletes the newest rollback point instead — HF rotates
+            # after updating best_model_checkpoint (ref
+            # common/trainer.py:888-936), and the persisted metadata
+            # should carry the current best, not last epoch's.
+            from radzero_tpu.train.checkpoint import checkpoint_dir
 
+            prospective = checkpoint_dir(args.output_dir, self.state.step)
+            stop_early = False
             metric_key = args.metric_for_best_model
             if metric_key in eval_metrics:
                 metric = eval_metrics[metric_key]
                 if self._is_better(metric):
                     self.state.best_metric = metric
-                    self.state.best_checkpoint = path
+                    self.state.best_checkpoint = prospective
                     self.state.patience_left = args.early_stopping_patience
                 elif self.state.patience_left is not None:
                     self.state.patience_left -= 1
@@ -472,7 +465,26 @@ class RadZeroTrainer:
                             f"early stopping at epoch {epoch + 1} "
                             f"(best {metric_key}={self.state.best_metric:.6g})"
                         )
-                        break
+                        stop_early = True
+
+            meta = {
+                "step": self.state.step,
+                "epoch": self.state.epoch,
+                "best_metric": self.state.best_metric,
+                "best_checkpoint": self.state.best_checkpoint,
+                "patience_left": self.state.patience_left,
+                "metrics": epoch_metrics,
+            }
+            save_checkpoint(
+                args.output_dir,
+                self.state.step,
+                self._ckpt_state(),
+                meta,
+                save_total_limit=args.save_total_limit,
+                best_path=self.state.best_checkpoint,
+            )
+            if stop_early:
+                break
 
         if args.load_best_model_at_end and self.state.best_checkpoint:
             logger.info(f"loading best model from {self.state.best_checkpoint}")

@@ -57,3 +57,11 @@ class StallProdder:
 
     def stop(self) -> None:
         self._stop.set()
+
+
+def install(stale_s: float = 300.0) -> StallProdder:
+    """One-line arming for tool entry points:
+    ``prodder = stall_guard.install()``. Returns the instance so call
+    sites can ``beat()``/``stop()`` if they want; the daemon thread dies
+    with the process either way."""
+    return StallProdder(stale_s=stale_s)

@@ -193,6 +193,7 @@ def test_collect_drains_backlog_at_zero_delay():
 
     eng = ServingEngine.__new__(ServingEngine)
     eng._queue = queue_mod.Queue()
+    eng._held = None
     eng.max_batch = 4
     eng.max_delay = 0.0
 
@@ -216,6 +217,47 @@ def test_collect_drains_backlog_at_zero_delay():
     second = eng._collect()
     assert [r.prompt_set for r in first] == ["a", "a"]
     assert [r.prompt_set for r in second] == ["b", "b", "b"]
+
+
+def test_mismatched_prompt_set_not_starved():
+    """A request whose prompt set mismatches the batch being assembled is
+    HELD as the next batch's first, not re-enqueued at the tail — at the
+    tail, sustained traffic of the other set would cycle it behind fresh
+    arrivals forever (regression: greedy drain + put-back starvation)."""
+    import concurrent.futures as cf
+    import queue as queue_mod
+
+    from radzero_tpu.eval.serving import _Request
+
+    eng = ServingEngine.__new__(ServingEngine)
+    eng._queue = queue_mod.Queue()
+    eng._held = None
+    eng.max_batch = 2
+    eng.max_delay = 0.0
+
+    def req(pset):
+        return _Request(np.zeros((2, 2, 3), np.uint8), (2, 2), pset, "none", cf.Future())
+
+    # one B among sustained A traffic; after each collect more A arrives
+    for p in ["a", "b", "a"]:
+        eng._queue.put(req(p))
+    first = eng._collect()                    # [a] — b goes to the held slot
+    assert [r.prompt_set for r in first] == ["a"]
+    eng._queue.put(req("a"))                  # fresh A lands behind b
+    second = eng._collect()                   # b MUST lead this batch
+    assert second[0].prompt_set == "b"
+    third = eng._collect()
+    assert [r.prompt_set for r in third] == ["a", "a"]
+
+    # close() must fail a held request's future, never leak it
+    eng._queue.put(req("a"))
+    eng._queue.put(req("b"))
+    got = eng._collect()
+    assert [r.prompt_set for r in got] == ["a"]
+    held = eng._held
+    assert held is not None
+    eng._fail_queued()
+    assert held.future.done() and isinstance(held.future.exception(), RuntimeError)
 
 
 def test_multihost_helpers_single_process():

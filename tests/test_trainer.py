@@ -238,3 +238,60 @@ def test_echo_reports_decoded_sample_rate(tmp_path):
     assert rec["train_decoded_samples_per_second"] == pytest.approx(
         rec["train_samples_per_second"] / 3
     )
+
+
+def test_pruning_improving_epochs_keep_newest_rollback(tmp_path):
+    """HF semantics: the best checkpoint counts WITHIN save_total_limit.
+    On an improving epoch the trainer updates best BEFORE saving, so
+    pruning keeps {new best, newest rollback} and deletes the oldest —
+    not {new best, stale old best} (regression: stale best_path)."""
+    import os
+
+    from radzero_tpu.train.checkpoint import (
+        checkpoint_dir,
+        list_checkpoints,
+        save_checkpoint,
+    )
+
+    out = str(tmp_path)
+    state = {"w": np.zeros(2, np.float32)}
+
+    def names():
+        return sorted(os.path.basename(p) for p in list_checkpoints(out))
+
+    # epochs 1-3 each improve: best == the just-saved checkpoint
+    for step in (1, 2, 3):
+        save_checkpoint(out, step, state, {}, save_total_limit=2,
+                        best_path=checkpoint_dir(out, step))
+    assert names() == ["checkpoint-2", "checkpoint-3"]  # oldest pruned
+
+    # epochs 4-5 do NOT improve: best stays checkpoint-3; the newest
+    # non-best rotates out, the best survives
+    best = checkpoint_dir(out, 3)
+    save_checkpoint(out, 4, state, {}, save_total_limit=2, best_path=best)
+    assert names() == ["checkpoint-3", "checkpoint-4"]
+    save_checkpoint(out, 5, state, {}, save_total_limit=2, best_path=best)
+    assert names() == ["checkpoint-3", "checkpoint-5"]
+
+
+def test_checkpoint_meta_carries_current_best(tmp_path):
+    """The persisted trainer_state.json of an improving epoch's
+    checkpoint must name THAT checkpoint as best (not last epoch's) —
+    a crash before the next save must not leave stale selection state."""
+    import os
+
+    from radzero_tpu.train.checkpoint import get_last_checkpoint, load_trainer_state
+
+    train, evalset = _loaders()
+    args = TrainerArgs(
+        output_dir=str(tmp_path), num_train_epochs=1, warmup_steps=1,
+        logging_steps=100, bf16=False,
+    )
+    trainer = RadZeroTrainer(CFG, args, train, evalset)
+    state = trainer.train()
+    last = get_last_checkpoint(str(tmp_path))
+    meta = load_trainer_state(last)
+    # single epoch: its eval is the first -> it IS the best
+    assert meta["best_checkpoint"] == state.best_checkpoint
+    assert os.path.abspath(meta["best_checkpoint"]) == os.path.abspath(last)
+    assert meta["best_metric"] == state.best_metric

@@ -16,10 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    from radzero_tpu.utils.stall_guard import StallProdder
+    from radzero_tpu.utils import stall_guard
 
-    # axon tunnel wedge watchdog (see utils/stall_guard.py)
-    prodder = StallProdder()  # noqa: F841 — daemon thread
+    prodder = stall_guard.install()  # noqa: F841 — tunnel wedge watchdog
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -228,8 +228,11 @@ def main() -> None:
         "recommended_dedup_slots": rec,
         # the throughput lever is STATIC: the text encoder always runs
         # dedup_slots rows instead of 512, regardless of the realized
-        # unique count below it
-        "static_text_row_reduction_at_recommended": round(WINDOW_ROWS / rec, 2),
+        # unique count below it. rec=None: no candidate met the <1%
+        # criterion — report that instead of crashing on the division.
+        "static_text_row_reduction_at_recommended": (
+            round(WINDOW_ROWS / rec, 2) if rec else
+            "no candidate slot count met the <1% overflow criterion"),
         "dup_factor_p50_range": [
             min(r["dup_factor_p50"] for r in results),
             max(r["dup_factor_p50"] for r in results),

@@ -105,7 +105,13 @@ def main() -> None:
     assert cfg.vision.img_size == 518
 
     devices = jax.devices()[: args.devices]
-    mesh = create_mesh({"data": args.devices // 2, "model": 2}, devices=devices)
+    # data x model mesh needs an even device count >= 4 (same rule as
+    # __graft_entry__.dryrun_multichip); otherwise pure data parallel —
+    # a hardcoded model=2 would crash odd/single --devices values
+    if args.devices >= 4 and args.devices % 2 == 0:
+        mesh = create_mesh({"data": args.devices // 2, "model": 2}, devices=devices)
+    else:
+        mesh = create_mesh({"data": args.devices}, devices=devices)
     print(f"mesh: {dict(mesh.shape)} over {len(devices)} virtual devices")
 
     t0 = time.perf_counter()

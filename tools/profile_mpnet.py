@@ -64,10 +64,9 @@ def _gsum(tree):
 
 
 def main():
-    from radzero_tpu.utils.stall_guard import StallProdder
+    from radzero_tpu.utils import stall_guard
 
-    # axon tunnel wedge watchdog (see utils/stall_guard.py)
-    prodder = StallProdder()  # noqa: F841 — daemon thread
+    prodder = stall_guard.install()  # noqa: F841 — tunnel wedge watchdog
     import dataclasses
 
     import jax

@@ -120,10 +120,9 @@ def build_loader(n_records: int = N_RECORDS, first_id: int = 0,
 
 def run_leg(leg: str, steps: int, out_dir: str, kill_at: int,
             backing: str = "device") -> None:
-    from radzero_tpu.utils.stall_guard import StallProdder
+    from radzero_tpu.utils import stall_guard
 
-    # axon tunnel wedge watchdog (see utils/stall_guard.py)
-    prodder = StallProdder()  # noqa: F841 — daemon thread
+    prodder = stall_guard.install()  # noqa: F841 — tunnel wedge watchdog
     import jax
     import jax.numpy as jnp  # noqa: F401
 
@@ -214,9 +213,9 @@ def run_selection(out_dir: str, epochs: int = 24, backing: str = "device") -> di
     import jax
     import numpy as np
 
-    from radzero_tpu.utils.stall_guard import StallProdder
+    from radzero_tpu.utils import stall_guard
 
-    prodder = StallProdder()  # noqa: F841 — tunnel wedge watchdog
+    prodder = stall_guard.install()  # noqa: F841 — tunnel wedge watchdog
 
     cache = os.path.join(REPO, ".jax_cache")
     if jax.default_backend() != "cpu":
